@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship transcript-extraction pipeline over
+sf0.001; ``queries()``/``oracle_sql()`` expose every implemented
+operator from SURVEY.md §2 (plus the training-data pipeline operators)
+for the DuckDB side-by-side correctness check.  Implementations live
+in engine/queries.py and engine/analytics.py.
 """
 
 from __future__ import annotations
@@ -12,27 +12,66 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+import engine.queries as _queries
+import engine.analytics as _analytics  # noqa: F401  (registers queries)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: synthesize transcripts from the sf0.001 documents table
+    (deterministic HTML per doc, covering all three strategies), run the
+    Arrow-batched extraction kernel, restore turn order, and return the
+    per-turn results."""
+    from pyspark.sql import Window
+
+    from engine.extract import extract_turns
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    item = ("concat('<div class=\"item\"><p class=\"name\">Doc ', doc_id, "
+            "'-', i, '</p><p class=\"price\">£', "
+            "1000 + (doc_id * 3 + i) % 9000, '</p></div>')")
+    row = ("concat('<tr><td>Doc ', doc_id, '-', i, '</td><td>£', "
+           "1000 + (doc_id * 3 + i) % 9000, '</td></tr>')")
+    jitem = ("concat('{\"name\": \"Doc ', doc_id, '-', i, "
+             "'\", \"price\": \"£', 1000 + (doc_id * 3 + i) % 9000, '\"}')")
+    html = F.expr(f"""
+      CASE doc_id % 4
+        WHEN 0 THEN concat('<html><body><div class="grid">',
+          concat_ws('', transform(sequence(0, 2), i -> {item})),
+          '</div></body></html>')
+        WHEN 1 THEN concat(
+          '<html><body><table><thead><tr><th>name</th><th>price</th></tr></thead><tbody>',
+          concat_ws('', transform(sequence(0, 2), i -> {row})),
+          '</tbody></table></body></html>')
+        WHEN 2 THEN concat('<html><head><script type="application/ld+json">',
+          '{{"book": [', concat_ws(', ', transform(sequence(0, 2), i -> {jitem})),
+          ']}}</script></head><body><p>x</p></body></html>')
+        ELSE text
+      END""".replace("{{", "{").replace("}}", "}"))
+
+    transcripts = docs.select(
+        F.concat(F.lit("conv_"), (F.col("doc_id") % 50).cast("string")).alias("conv_id"),
+        (F.col("doc_id") / 50).cast("int").alias("turn_idx"),
+        F.lit("assistant").alias("role"),
+        html.alias("text"))
+
+    extracted = extract_turns(transcripts, "Can you give me the book: name and price?")
+    order = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return (extracted
+            .withColumn("turn_seq", F.row_number().over(order))
+            .select("conv_id", "turn_idx", "turn_seq", "entity", "strategy",
+                    "status", "n_results", "message", "results"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2 / §2.8 plus
+    the training-data pipeline operators."""
+    return _queries.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable oracle SQL per query key (same column names)."""
+    return _queries.oracle_sql()

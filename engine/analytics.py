@@ -1,0 +1,431 @@
+"""Driver-contract queries, groups 2 & 3 (see engine/queries.py):
+kernel-through-the-driver extraction checks + training-data pipeline
+operators (dedup, similarity, text analysis) over documents/embeddings.
+
+Registered into the same registry as engine/queries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from engine.extract import extract_turns
+from engine.queries import _t, register
+
+# ---------------------------------------------------------------------------
+# group 2 — the real extraction kernel, verified through the driver:
+# HTML is built from documents rows with closed-form content (JVM-side
+# expressions), the Arrow-batched kernel extracts it, and the oracle
+# reconstructs the expected records directly.
+# ---------------------------------------------------------------------------
+
+_QUERY = "Can you give me the book: name and price?"
+
+
+def _as_turns(df):
+    return df.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("assistant").alias("role"),
+        F.col("html").alias("text"))
+
+
+def _exploded(res):
+    return (res.select("conv_id", F.explode("results").alias("r"))
+            .select("conv_id",
+                    F.col("r")["name"].alias("name"),
+                    F.col("r")["price"].alias("price")))
+
+
+@register("extract_table_family", """
+SELECT CAST(doc_id AS VARCHAR) AS conv_id,
+       'Doc ' || doc_id AS name,
+       '£' || (1000 + doc_id % 9000) AS price
+FROM documents
+""")
+def q_extract_table_family(spark, sf_dir):
+    """T1-T6 end-to-end: build a <table> per document, run the kernel,
+    expect header-matched rows back."""
+    html = F.expr(
+        "concat('<html><body><table><thead><tr><th>name</th><th>price</th>"
+        "</tr></thead><tbody><tr><td>Doc ', doc_id, '</td><td>£', "
+        "1000 + doc_id % 9000, '</td></tr></tbody></table></body></html>')")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", html.alias("html"))
+    return _exploded(extract_turns(_as_turns(docs), _QUERY))
+
+
+@register("extract_general_family", """
+SELECT CAST(doc_id AS VARCHAR) AS conv_id,
+       'Doc ' || doc_id || '-' || i AS name,
+       '£' || (1000 + (doc_id * 3 + i) % 9000) AS price
+FROM documents, (SELECT unnest([0, 1, 2]) AS i)
+""")
+def q_extract_general_family(spark, sf_dir):
+    """G2/G5/G6/G7 end-to-end: repeated div.item cards per document;
+    exact-match extraction on the first card, path-chain replay on the
+    remaining cards."""
+    item = ("concat('<div class=\"item\"><p class=\"name\">Doc ', doc_id, "
+            "'-', i, '</p><p class=\"price\">£', "
+            "1000 + (doc_id * 3 + i) % 9000, '</p></div>')")
+    html = F.expr(
+        f"concat('<html><body><div class=\"grid\">', "
+        f"concat_ws('', transform(sequence(0, 2), i -> {item})), "
+        f"'</div></body></html>')")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", html.alias("html"))
+    return _exploded(extract_turns(_as_turns(docs), _QUERY))
+
+
+@register("extract_json_family", """
+SELECT CAST(doc_id AS VARCHAR) AS conv_id,
+       'Doc ' || doc_id || '-' || i AS name,
+       '£' || (1000 + (doc_id * 3 + i) % 9000) AS price
+FROM documents, (SELECT unnest([0, 1, 2]) AS i)
+""")
+def q_extract_json_family(spark, sf_dir):
+    """J1-J8 end-to-end: an application/ld+json book array per document;
+    regex patterns extract the indexed instances."""
+    item = ("concat('{\"name\": \"Doc ', doc_id, '-', i, "
+            "'\", \"price\": \"£', 1000 + (doc_id * 3 + i) % 9000, '\"}')")
+    html = F.expr(
+        "concat('<html><head><script type=\"application/ld+json\">"
+        '{"book": [\', '
+        f"concat_ws(', ', transform(sequence(0, 2), i -> {item})), "
+        "']}</script></head><body><p>x</p></body></html>')")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", html.alias("html"))
+    return _exploded(extract_turns(_as_turns(docs), _QUERY))
+
+
+# ---------------------------------------------------------------------------
+# group 3 — training-data pipeline operators
+# ---------------------------------------------------------------------------
+
+# identical tokenization both sides: split on single space, drop empties
+_SPARK_TOKS = "filter(split(lower(text), ' '), x -> length(x) > 0)"
+_DUCK_TOKS = ("list_filter(string_split(lower(text), ' '), "
+              "x -> length(x) > 0)")
+
+# word-3-gram shingles (guarded for short docs; Spark sequence(1,0)
+# would be descending, so the guard is required there)
+_SPARK_SHINGLES = f"""
+CASE WHEN size({_SPARK_TOKS}) >= 3 THEN
+  transform(sequence(1, size({_SPARK_TOKS}) - 2),
+            i -> concat(element_at({_SPARK_TOKS}, i), ' ',
+                        element_at({_SPARK_TOKS}, i + 1), ' ',
+                        element_at({_SPARK_TOKS}, i + 2)))
+ELSE array() END
+"""
+_DUCK_SHINGLES = f"""
+list_transform(range(1, greatest(len({_DUCK_TOKS}) - 1, 1)),
+               i -> {_DUCK_TOKS}[i] || ' ' || {_DUCK_TOKS}[i + 1]
+                    || ' ' || {_DUCK_TOKS}[i + 2])
+"""
+
+
+@register("dedup_exact", """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_doc_id,
+       COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text)
+""")
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on content, keep min doc_id.  At scale
+    this is one shuffle on the hash; AQE coalesces the tail."""
+    return (_t(spark, sf_dir, "documents")
+            .groupBy(F.md5(F.col("text").cast("binary")).alias("content_hash"))
+            .agg(F.min("doc_id").alias("keeper_doc_id"),
+                 F.count("*").alias("n_copies")))
+
+
+_MINHASH_K = 8
+_BANDS = 4  # rows-per-band = 2
+
+_DUCK_MINHASH = f"""
+WITH shingled AS (
+  SELECT doc_id, unnest({_DUCK_SHINGLES}) AS sh FROM documents
+  WHERE len({_DUCK_TOKS}) >= 3
+), dist AS (SELECT DISTINCT doc_id, sh FROM shingled),
+sig AS (
+  SELECT doc_id,
+         {', '.join(f"MIN(md5('{k}:' || sh)) AS h{k}" for k in range(_MINHASH_K))}
+  FROM dist GROUP BY doc_id
+), bands AS (
+  {' UNION ALL '.join(
+      f"SELECT doc_id, {b} AS band_id, md5(h{2*b} || h{2*b+1}) AS band_key FROM sig"
+      for b in range(_BANDS))}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+), inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN dist da ON da.doc_id = c.doc_a
+  JOIN dist db ON db.doc_id = c.doc_b AND da.sh = db.sh
+  GROUP BY c.doc_a, c.doc_b
+), sizes AS (SELECT doc_id, COUNT(*) AS n FROM dist GROUP BY doc_id)
+SELECT i.doc_a, i.doc_b,
+       ROUND(CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common), 4)
+         AS jaccard
+FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+             JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.2
+"""
+
+
+@register("dedup_minhash_lsh", _DUCK_MINHASH)
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """Near-dup detection: word-3-gram shingles → 8 MD5 minhashes →
+    4 bands of 2 → band-bucket join for candidates → exact Jaccard
+    verify on candidates only.
+
+    Scale path: the candidate join is on (band_id, band_key) — a
+    uniform hash key — so the O(n²) pair space is never materialized;
+    only colliding buckets join, and AQE handles any hot bucket."""
+    docs = _t(spark, sf_dir, "documents")
+    shingled = docs.select(
+        "doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("sh"))
+    dist = shingled.distinct()
+    sig = dist.groupBy("doc_id").agg(*[
+        F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("sh")).cast("binary")))
+         .alias(f"h{k}") for k in range(_MINHASH_K)])
+    bands = None
+    for b in range(_BANDS):
+        part = sig.select(
+            "doc_id", F.lit(b).alias("band_id"),
+            F.md5(F.concat(F.col(f"h{2*b}"), F.col(f"h{2*b+1}"))
+                  .cast("binary")).alias("band_key"))
+        bands = part if bands is None else bands.unionAll(part)
+    a = bands.alias("a")
+    b_ = bands.alias("b")
+    cand = (a.join(b_, (F.col("a.band_id") == F.col("b.band_id"))
+                   & (F.col("a.band_key") == F.col("b.band_key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    da = dist.select(F.col("doc_id").alias("doc_a"), "sh")
+    db = dist.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (cand.join(da, "doc_a").join(db, ["doc_b", "sh"])
+             .groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_common")))
+    sizes = dist.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = (inter.join(sa, "doc_a").join(sb, "doc_b")
+           .withColumn("jaccard_raw",
+                       F.col("n_common")
+                       / (F.col("na") + F.col("nb") - F.col("n_common"))))
+    return (jac.filter(F.col("jaccard_raw") >= 0.2)
+            .select("doc_a", "doc_b",
+                    F.round("jaccard_raw", 4).alias("jaccard")))
+
+
+_HEX_CASE = ("CASE {d} WHEN '0' THEN 0 WHEN '1' THEN 1 WHEN '2' THEN 2 "
+             "WHEN '3' THEN 3 WHEN '4' THEN 4 WHEN '5' THEN 5 WHEN '6' THEN 6 "
+             "WHEN '7' THEN 7 WHEN '8' THEN 8 WHEN '9' THEN 9 WHEN 'a' THEN 10 "
+             "WHEN 'b' THEN 11 WHEN 'c' THEN 12 WHEN 'd' THEN 13 "
+             "WHEN 'e' THEN 14 ELSE 15 END")
+
+_DUCK_SIMHASH = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
+), bits AS (
+  SELECT doc_id, p.p,
+         SUM(CASE WHEN
+               ((({_HEX_CASE.format(d="substr(md5(tok), 1 + p.p // 4, 1)")})
+                >> (3 - p.p % 4)) & 1) = 1
+             THEN 1 ELSE -1 END) AS vote
+  FROM toks, (SELECT unnest(range(0, 16)) AS p) p
+  GROUP BY doc_id, p.p
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN vote > 0 THEN 1 << p ELSE 0 END) AS BIGINT)
+         AS simhash16
+FROM bits GROUP BY doc_id
+"""
+
+
+@register("dedup_simhash", _DUCK_SIMHASH)
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash sketch (16-bit): per token, MD5-derived bits vote ±1 per
+    position; the sign of the vote sets the bit.  Near-dups then reduce
+    to small-Hamming-distance pairs on a 16-bit key — a cheap
+    equality-ish join at scale instead of O(n²) comparisons."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = (docs.select("doc_id", F.explode(F.expr(_SPARK_TOKS)).alias("tok"))
+            .distinct())
+    hexd = "substr(md5(cast(tok as binary)), cast(1 + floor(p / 4) as int), 1)"
+    bit = f"((({_HEX_CASE.format(d=hexd)}) >> (3 - p % 4)) & 1)"
+    bits = (toks.select("doc_id",
+                        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("p"),
+                        F.col("tok"))
+            .withColumn("contrib", F.expr(f"CASE WHEN {bit} = 1 THEN 1 ELSE -1 END"))
+            .groupBy("doc_id", "p").agg(F.sum("contrib").alias("vote")))
+    return (bits.groupBy("doc_id")
+            .agg(F.sum(F.expr("CASE WHEN vote > 0 THEN shiftleft(1, p) ELSE 0 END"))
+                 .alias("simhash16")))
+
+
+@register("ann_cosine_topk", """
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS qe FROM embeddings
+  WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+), scored AS (
+  SELECT e.vec_id,
+         list_cosine_similarity(e.embedding::DOUBLE[], q.qe) AS cos_raw
+  FROM embeddings e, q
+  WHERE e.vec_id <> (SELECT MIN(vec_id) FROM embeddings)
+)
+SELECT vec_id, ROUND(cos_raw, 4) AS cosine
+FROM scored ORDER BY ROUND(cos_raw, 6) DESC, vec_id LIMIT 10
+""")
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k (the exact baseline for ANN): the query
+    vector is broadcast via a 1-row cross join; dot/norms run as JVM
+    higher-order functions (no Python).  The LSH-bucketed scale path
+    for sets of query vectors reuses dedup_minhash_lsh's band-join
+    shape over sign-random-projection bits (see dedup_simhash)."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "e", F.expr("transform(embedding, x -> cast(x AS double))"))
+    qmin = emb.select(F.min("vec_id").alias("mv"))
+    qvec = (emb.join(qmin, emb.vec_id == qmin.mv)
+            .select(F.col("e").alias("qe"), F.col("mv")))
+    dot = "aggregate(zip_with(e, qe, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    n1 = "sqrt(aggregate(transform(e, x -> x * x), 0D, (acc, v) -> acc + v))"
+    n2 = "sqrt(aggregate(transform(qe, x -> x * x), 0D, (acc, v) -> acc + v))"
+    scored = (emb.crossJoin(F.broadcast(qvec))
+              .filter(F.col("vec_id") != F.col("mv"))
+              .select("vec_id",
+                      F.expr(f"({dot}) / (({n1}) * ({n2}))").alias("cos_raw")))
+    return (scored.orderBy(F.round("cos_raw", 6).desc(), F.col("vec_id"))
+            .select("vec_id", F.round("cos_raw", 4).alias("cosine"))
+            .limit(10))
+
+
+_LANG_SETS = {
+    "en": ("the", "a", "of", "and", "is", "to"),
+    "es": ("el", "la", "de", "y", "es", "que"),
+    "fr": ("le", "la", "de", "et", "est", "que"),
+}
+
+
+def _lang_counts_sql(toks_expr, filt, length_fn):
+    parts = []
+    for lang, words in _LANG_SETS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        parts.append(f"{length_fn}({filt}({toks_expr}, x -> x IN ({lst}))) AS n_{lang}")
+    return ", ".join(parts)
+
+
+@register("lang_id_heuristic", f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         {_lang_counts_sql(_DUCK_TOKS, 'list_filter', 'len')}
+  FROM documents
+)
+SELECT doc_id, lang AS labeled_lang,
+       CASE WHEN n_en >= n_es AND n_en >= n_fr THEN 'en'
+            WHEN n_es >= n_fr THEN 'es' ELSE 'fr' END AS predicted_lang
+FROM scored
+""")
+def q_lang_id_heuristic(spark, sf_dir):
+    """Language-ID by stopword-hit voting (n-gram heuristic family):
+    argmax over per-language token-hit counts with a fixed tiebreak."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "lang",
+        *[F.expr(f"size(filter({_SPARK_TOKS}, x -> x IN "
+                 f"({', '.join(repr(w) for w in words)})))").alias(f"n_{lang}")
+          for lang, words in _LANG_SETS.items()])
+    pred = (F.when((F.col("n_en") >= F.col("n_es"))
+                   & (F.col("n_en") >= F.col("n_fr")), "en")
+            .when(F.col("n_es") >= F.col("n_fr"), "es")
+            .otherwise("fr"))
+    return scored.select("doc_id", F.col("lang").alias("labeled_lang"),
+                         pred.alias("predicted_lang"))
+
+
+@register("quality_score", f"""
+SELECT doc_id, n_tokens,
+       FLOOR((0.4 * LEAST(1.0, n_tokens / 100.0)
+             + 0.3 * distinct_ratio
+             + 0.3 * LEAST(1.0, avg_tok_len / 8.0)) * 10000) / 10000 AS quality
+FROM (
+  SELECT doc_id,
+         len({_DUCK_TOKS}) AS n_tokens,
+         ROUND(CAST(len(list_distinct({_DUCK_TOKS})) AS DOUBLE)
+               / GREATEST(len({_DUCK_TOKS}), 1), 4) AS distinct_ratio,
+         ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+               / GREATEST(len({_DUCK_TOKS}), 1), 4) AS avg_tok_len
+  FROM documents)
+""")
+def q_quality_score(spark, sf_dir):
+    """Document quality scoring: length, vocabulary diversity and mean
+    token length folded into one bounded score."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.expr(f"size({_SPARK_TOKS})").cast("long").alias("n_tokens"),
+        F.round(F.expr(f"cast(size(array_distinct({_SPARK_TOKS})) AS double) "
+                       f"/ greatest(size({_SPARK_TOKS}), 1)"), 4)
+         .alias("distinct_ratio"),
+        F.round(F.expr(f"cast(length(replace(text, ' ', '')) AS double) "
+                       f"/ greatest(size({_SPARK_TOKS}), 1)"), 4)
+         .alias("avg_tok_len"))
+    # floor-truncation instead of round: Spark's HALF_UP and DuckDB's
+    # rounding disagree on exact .xxxx5 ties (e.g. 0.49525)
+    quality = F.floor((
+        0.4 * F.least(F.lit(1.0), F.col("n_tokens") / 100.0)
+        + 0.3 * F.col("distinct_ratio")
+        + 0.3 * F.least(F.lit(1.0), F.col("avg_tok_len") / 8.0)) * 10000) / 10000
+    return base.select("doc_id", "n_tokens", quality.alias("quality"))
+
+
+@register("token_count", f"""
+SELECT doc_id,
+       len({_DUCK_TOKS}) AS ws_tokens,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS re_tokens
+FROM documents
+""")
+def q_token_count(spark, sf_dir):
+    """Token counting: whitespace tokens + a BPE-ish regex token count
+    (alpha runs | digit runs)."""
+    return (_t(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.expr(f"size({_SPARK_TOKS})").cast("long").alias("ws_tokens"),
+                    F.expr("size(regexp_extract_all(lower(text), "
+                           "'[a-z]+|[0-9]+', 0))").cast("long").alias("re_tokens")))
+
+
+@register("doc_fingerprint", """
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+       substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 8)
+         AS fp_prefix
+FROM documents
+""")
+def q_doc_fingerprint(spark, sf_dir):
+    """Document fingerprinting: hash of the whitespace-normalized text;
+    the 8-hex prefix doubles as a cheap clustering/bucketing key."""
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    fp = F.md5(norm.cast("binary"))
+    return (_t(spark, sf_dir, "documents")
+            .select("doc_id", fp.alias("fingerprint"),
+                    F.substring(fp, 1, 8).alias("fp_prefix")))
+
+
+@register("embedding_norm_stats", """
+SELECT label, COUNT(*) AS n,
+       ROUND(AVG(sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                              x -> x * x)))), 3) AS avg_l2
+FROM embeddings GROUP BY label
+""")
+def q_embedding_norm_stats(spark, sf_dir):
+    """Vector hygiene stats per label: count + mean L2 norm (guards a
+    similarity pipeline against unnormalized inputs)."""
+    l2 = F.expr("sqrt(aggregate(transform(embedding, x -> cast(x as double) "
+                "* cast(x as double)), 0D, (acc, v) -> acc + v))")
+    return (_t(spark, sf_dir, "embeddings")
+            .groupBy("label")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.avg(l2), 3).alias("avg_l2")))

@@ -1,0 +1,174 @@
+"""Batch extraction pipeline: read → salt → extract → order → write,
+with per-bucket lineage enabling exact resume (SURVEY.md §3.5, §7).
+
+Scale design (targets 10^12 turns / 1000 executors; tested local[N]):
+
+* **Buckets** — work is tracked in ``n_buckets`` hash buckets of
+  ``conv_id`` (``pmod(xxhash64(conv_id), n_buckets)``).  A bucket is
+  the unit of commit + resume: its lineage row is appended only after
+  its output is durably written, so a crash between commits re-runs
+  only the unfinished buckets (idempotent — output is re-derived, the
+  anti-join against lineage prevents duplication).
+* **Salting** — the extraction stage repartitions on
+  ``(conv_id, turn_idx div salt_block)`` so one 10^6-turn conversation
+  spreads over ~turns/salt_block tasks instead of serializing one
+  executor.  Extraction is a pure row map, so salting is free of
+  semantic effect.
+* **Ordering** — the per-conversation order is restored AFTER
+  extraction via ``row_number() OVER (PARTITION BY conv_id ORDER BY
+  turn_idx)`` (north rule).  Running the window on the post-extraction
+  rows (structured results, not raw 16 MB HTML) bounds the unsalted
+  conv_id shuffle: even an extreme conversation is only result-sized
+  in one task.
+* **Lineage** — rows_in / rows_out / parse_failures / wall_ms are
+  aggregated from the written output (a column-pruned scan of three
+  small columns), not from a second pass over the input.
+* **I/O abstraction** — paths are parquet directories here; on a real
+  cluster the same code targets Iceberg via ``writeTo(...).append()``
+  (``io_format='iceberg'``).  The sandbox has no Iceberg runtime jar,
+  so the parquet path is the tested one (SURVEY.md §7.4.5);
+  ``input_snapshot`` carries the pinned snapshot/version id either way.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from engine.extract import extract_turns
+from engine.schema import LINEAGE_SCHEMA
+
+
+@dataclass
+class JobConfig:
+    input_path: str
+    output_path: str
+    lineage_path: str
+    query: str
+    io_format: str = "parquet"          # parquet | iceberg
+    n_buckets: int = 64
+    buckets_per_commit: int = 0         # 0 → all pending buckets in one commit
+    salt_block: int = 256
+    similarity_threshold: float = 0.6
+    input_snapshot: Optional[str] = None
+    run_id: str = field(default_factory=lambda: uuid.uuid4().hex[:12])
+    # test hook: raise after this many commit groups (simulated crash)
+    fail_after_groups: int = 0
+
+
+def _read_input(spark: SparkSession, cfg: JobConfig) -> DataFrame:
+    if cfg.io_format == "iceberg":
+        reader = spark.read
+        if cfg.input_snapshot:
+            reader = reader.option("snapshot-id", cfg.input_snapshot)
+        return reader.table(cfg.input_path)
+    return spark.read.parquet(cfg.input_path)
+
+
+def _completed_buckets(spark: SparkSession, cfg: JobConfig) -> set:
+    try:
+        lineage = spark.read.schema(LINEAGE_SCHEMA).parquet(cfg.lineage_path)
+    except Exception:
+        return set()
+    return {r.bucket for r in lineage.select("bucket").distinct().collect()}
+
+
+def _write_output(df: DataFrame, cfg: JobConfig) -> None:
+    if cfg.io_format == "iceberg":
+        df.writeTo(cfg.output_path).append()
+    else:
+        df.write.mode("append").partitionBy("bucket").parquet(cfg.output_path)
+
+
+class SimulatedFailure(RuntimeError):
+    """Raised by the fail_after_groups test hook (resume test, §5.2.5)."""
+
+
+def run_extraction_job(spark: SparkSession, cfg: JobConfig) -> dict:
+    """Execute (or resume) the extraction job.  Returns job metrics."""
+    df = _read_input(spark, cfg)
+    df = df.select("conv_id", "turn_idx", "role", "text")
+    df = df.withColumn("bucket",
+                       F.pmod(F.xxhash64("conv_id"), F.lit(cfg.n_buckets)).cast("int"))
+
+    done = _completed_buckets(spark, cfg)
+    pending = [b for b in range(cfg.n_buckets) if b not in done]
+    if not pending:
+        return {"run_id": cfg.run_id, "buckets_processed": 0, "resumed": True}
+
+    group_size = cfg.buckets_per_commit or len(pending)
+    groups: List[List[int]] = [pending[i:i + group_size]
+                               for i in range(0, len(pending), group_size)]
+
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    buckets_processed = 0
+    input_snapshot = cfg.input_snapshot or cfg.input_path
+
+    for gi, group in enumerate(groups):
+        t0 = time.time()
+        part = df.filter(F.col("bucket").isin(group))
+
+        # skew salting: spread long conversations across tasks for the
+        # CPU-heavy extraction map (semantics-free — pure row map)
+        salted = part.repartition(
+            shuffle_n, "conv_id",
+            (F.col("turn_idx") / F.lit(cfg.salt_block)).cast("int"))
+
+        extracted = extract_turns(salted.drop("bucket"), cfg.query,
+                                  cfg.similarity_threshold)
+        extracted = extracted.withColumn(
+            "bucket",
+            F.pmod(F.xxhash64("conv_id"), F.lit(cfg.n_buckets)).cast("int"))
+
+        # restore stable per-conversation turn order (north rule)
+        order = Window.partitionBy("conv_id").orderBy("turn_idx")
+        extracted = extracted.withColumn("turn_seq", F.row_number().over(order))
+
+        _write_output(extracted, cfg)
+
+        # lineage from the written output: column-pruned scan
+        written = spark.read.parquet(cfg.output_path) \
+            .filter(F.col("bucket").isin(group))
+        stats = written.groupBy("bucket").agg(
+            F.count("*").alias("rows_in"),
+            F.sum("n_results").alias("rows_out"),
+            F.sum(F.when(F.col("status") == "parse_error", 1).otherwise(0))
+             .alias("parse_failures"),
+        ).collect()
+        wall_ms = int((time.time() - t0) * 1000)
+        stat_by_bucket = {r.bucket: r for r in stats}
+        lineage_rows = []
+        for b in group:
+            r = stat_by_bucket.get(b)
+            lineage_rows.append((
+                b, input_snapshot,
+                int(r.rows_in) if r else 0,
+                int(r.rows_out or 0) if r else 0,
+                int(r.parse_failures) if r else 0,
+                wall_ms, cfg.run_id,
+            ))
+        spark.createDataFrame(lineage_rows, LINEAGE_SCHEMA) \
+            .coalesce(1).write.mode("append").parquet(cfg.lineage_path)
+        buckets_processed += len(group)
+
+        if cfg.fail_after_groups and gi + 1 >= cfg.fail_after_groups \
+                and gi + 1 < len(groups):
+            raise SimulatedFailure(
+                f"injected failure after commit group {gi + 1}")
+
+    return {
+        "run_id": cfg.run_id,
+        "buckets_processed": buckets_processed,
+        "resumed": len(done) > 0,
+    }
+
+
+def read_results(spark: SparkSession, cfg: JobConfig) -> DataFrame:
+    """Results in stable (conv_id, turn_idx) order."""
+    return spark.read.parquet(cfg.output_path).orderBy("conv_id", "turn_idx")

@@ -1,0 +1,105 @@
+"""Pipeline tests: lineage, exact resume after simulated failure, skew
+salting (SURVEY.md §5.2.4/§5.2.5)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from engine.pipeline import JobConfig, SimulatedFailure, run_extraction_job
+from engine.synth import CANONICAL_QUERY, synth_transcripts
+
+
+def _mk_input(spark, tmp_path, **synth_kwargs):
+    path = str(tmp_path / "transcripts")
+    synth_transcripts(spark, **synth_kwargs).write.parquet(path)
+    return path
+
+
+def _results_sorted(spark, out_path):
+    return (spark.read.parquet(out_path)
+            .select("conv_id", "turn_idx", "n_results", "status", "message")
+            .orderBy("conv_id", "turn_idx"))
+
+
+def test_full_run_and_lineage(spark, tmp_path):
+    inp = _mk_input(spark, tmp_path, n_conversations=12, turns_per_conv=6)
+    cfg = JobConfig(input_path=inp, output_path=str(tmp_path / "out"),
+                    lineage_path=str(tmp_path / "lineage"),
+                    query=CANONICAL_QUERY, n_buckets=8)
+    metrics = run_extraction_job(spark, cfg)
+    assert metrics["buckets_processed"] == 8
+
+    out = spark.read.parquet(cfg.output_path)
+    assert out.count() == 72
+    lineage = spark.read.parquet(cfg.lineage_path)
+    rows = lineage.collect()
+    assert {r.bucket for r in rows} == set(range(8))
+    assert sum(r.rows_in for r in rows) == 72
+    assert sum(r.parse_failures for r in rows) == 0
+    # turn_seq window restored order
+    assert out.filter(F.col("turn_seq") != F.col("turn_idx") + 1).count() == 0
+
+
+def test_resume_after_failure_equals_single_run(spark, tmp_path):
+    inp = _mk_input(spark, tmp_path, n_conversations=12, turns_per_conv=6)
+
+    # reference single-shot run
+    ref_cfg = JobConfig(input_path=inp, output_path=str(tmp_path / "ref_out"),
+                        lineage_path=str(tmp_path / "ref_lin"),
+                        query=CANONICAL_QUERY, n_buckets=8)
+    run_extraction_job(spark, ref_cfg)
+
+    # crashing run: commit 1 group of 2 buckets, then die
+    cfg = JobConfig(input_path=inp, output_path=str(tmp_path / "out"),
+                    lineage_path=str(tmp_path / "lineage"),
+                    query=CANONICAL_QUERY, n_buckets=8,
+                    buckets_per_commit=2, fail_after_groups=1)
+    with pytest.raises(SimulatedFailure):
+        run_extraction_job(spark, cfg)
+
+    partial = spark.read.parquet(cfg.lineage_path)
+    assert partial.select("bucket").distinct().count() == 2
+
+    # resume: same config, no failure injection
+    cfg2 = JobConfig(input_path=inp, output_path=cfg.output_path,
+                     lineage_path=cfg.lineage_path,
+                     query=CANONICAL_QUERY, n_buckets=8, buckets_per_commit=2)
+    metrics = run_extraction_job(spark, cfg2)
+    assert metrics["resumed"] is True
+    assert metrics["buckets_processed"] == 6
+
+    a = _results_sorted(spark, cfg.output_path).collect()
+    b = _results_sorted(spark, ref_cfg.output_path).collect()
+    assert a == b
+
+    # re-running once complete is a no-op
+    metrics3 = run_extraction_job(spark, cfg2)
+    assert metrics3["buckets_processed"] == 0
+
+
+def test_skew_salting_bounds_task_input(spark, tmp_path):
+    """One conversation with 100× the turns must not serialize into a
+    single task: with salt_block B its turns spread over ≥ turns/B
+    partitions."""
+    df = synth_transcripts(spark, n_conversations=40, turns_per_conv=10,
+                           skew_factor=100)  # conv 0 has 1000 turns
+    salt_block = 64
+    salted = df.repartition(
+        32, "conv_id", (F.col("turn_idx") / F.lit(salt_block)).cast("int"))
+    per_task = (salted.withColumn("pid", F.spark_partition_id())
+                .filter(F.col("conv_id") == "conv_00000000")
+                .groupBy("pid").count().collect())
+    assert len(per_task) >= 1000 // salt_block // 2  # spread over many tasks
+    assert max(r["count"] for r in per_task) <= 3 * salt_block
+
+
+def test_unsalted_skew_serializes_one_task(spark):
+    """Negative control: without the salt key the skewed conversation
+    lands in exactly one partition."""
+    df = synth_transcripts(spark, n_conversations=40, turns_per_conv=10,
+                           skew_factor=100)
+    plain = df.repartition(32, "conv_id")
+    per_task = (plain.withColumn("pid", F.spark_partition_id())
+                .filter(F.col("conv_id") == "conv_00000000")
+                .groupBy("pid").count().collect())
+    assert len(per_task) == 1

@@ -1,0 +1,74 @@
+"""Query-parser unit tests against the reference's own inline cases
+(``rule_base_query_parser.py:268-277``, FIXTURES.md §2)."""
+
+from engine import nouns
+from engine.query_parse import clean_query, parse_query, parse_query_hybrid
+
+
+def test_reference_inline_cases():
+    cases = {
+        "Can you give me the book: name and price?":
+            ("book", ["name", "price"], "the-pattern"),
+        "Extract job title, location, salary, and company name from the listings":
+            ("job", ["title", "location", "salary", "company name"], "simple-heuristic"),
+        "Get the product name, price, and description":
+            ("product", ["name", "price", "description"], "the-pattern"),
+        "List book author, title, price and rating":
+            ("book", ["author", "title", "price", "rating"], "simple-heuristic"),
+        "Extract club name, location and membership fee":
+            ("club", ["name", "location", "membership fee"], "simple-heuristic"),
+        "Get the property name, price, and address":
+            ("property", ["name", "price", "address"], "the-pattern"),
+        "Show me all the movie titles and ratings":
+            ("movie", ["titles", "ratings"], "the-pattern"),
+    }
+    for query, (entity, attrs, approach) in cases.items():
+        parsed = parse_query(query)
+        assert parsed.entity == entity, query
+        assert parsed.attributes == attrs, query
+        assert parsed.entity_approach == approach, query
+
+
+def test_clean_query():
+    assert clean_query("Get the book: name and price?!?") == "get the book  name and price"
+    assert clean_query("  WHAT? ") == "what"
+
+
+def test_attribute_dedup_preserves_order():
+    parsed = parse_query("get price, price and name of the book")
+    assert parsed.attributes == ["price", "name"]
+
+
+def test_hybrid_is_rule_based_without_ml():
+    # ml_query_parser.py:189-191 — no model → rule result verbatim
+    a = parse_query("Get the product name")
+    b = parse_query_hybrid("Get the product name")
+    assert (a.entity, a.attributes) == (b.entity, b.attributes)
+    assert b.method == "rule-based"
+
+
+def test_all_stopword_query():
+    parsed = parse_query("get me the")
+    assert parsed.attributes == [] or parsed.entity is None
+
+
+def test_nouns():
+    assert nouns.singularize("companies") == "company"
+    # quirk carried verbatim: ref noun.py:33-35 yields 'knif', not 'knife'
+    assert nouns.singularize("knives") == "knif"
+    assert nouns.singularize("glasses") == "glass"
+    assert nouns.singularize("boxes") == "box"
+    assert nouns.singularize("books") == "book"
+    assert nouns.singularize("people") == "person"
+    assert nouns.pluralize("company") == "companies"
+    # ref noun.py:83-85 only maps a trailing 'f' (wolf→wolves);
+    # 'knife' falls through to the default +s rule
+    assert nouns.pluralize("knife") == "knifes"
+    assert nouns.pluralize("wolf") == "wolves"
+    # ref noun.py:86-88: a trailing-s noun is returned unchanged
+    assert nouns.pluralize("glass") == "glass"
+    assert nouns.pluralize("photo") == "photos"
+    assert nouns.pluralize("book") == "books"
+    assert nouns.pluralize("person") == "people"
+    # round-trip quirk carried from the reference: -es words
+    assert nouns.singularize("dishes") == "dish"
