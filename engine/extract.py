@@ -50,26 +50,49 @@ def _no_markup_fast_path(entity: Optional[str]) -> dict:
     }
 
 
+def _stringify_results(results):
+    """Map values must be strings for the static MapType schema; the J5
+    semantic tier can surface raw JSON scalars (ref keeps them raw,
+    json_script_parser.py:468)."""
+    out = []
+    for record in results:
+        out.append({k: (v if v is None or isinstance(v, str) else str(v))
+                    for k, v in record.items()})
+    return out
+
+
 def extract_turns(df: DataFrame, query: str,
-                  similarity_threshold: float = C.SIMILARITY_THRESHOLD) -> DataFrame:
+                  similarity_threshold: float = C.SIMILARITY_THRESHOLD,
+                  matcher_factory=None) -> DataFrame:
     """Map a transcripts DataFrame to the results schema for one query.
 
     Input must carry (conv_id, turn_idx, role, text); extra columns are
     dropped (column pruning reaches the scan because the select below
     is part of the declarative plan).
+
+    ``matcher_factory`` (optional, executor-side ``() -> Matcher``)
+    plugs in the semantic tiers; one matcher is built per task so its
+    string-pair cache amortizes across the partition — never per row
+    (SURVEY.md §4.1: do not re-encode inside the recursion).
     """
     parsed: ParsedQuery = parse_query_hybrid(query)
     bad_query = not parsed.entity or not parsed.attributes
 
     entity = parsed.entity
+    # event-time passthrough keeps streaming aggregations (watermarks
+    # over ts) downstream of the kernel without a stream-stream join
+    has_ts = "ts" in df.columns
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        matcher = matcher_factory() if matcher_factory is not None else None
         for batch in batches:
             out = {
                 "conv_id": batch["conv_id"],
                 "turn_idx": batch["turn_idx"],
                 "role": batch["role"],
             }
+            if has_ts:
+                out["ts"] = batch["ts"]
             n = len(batch)
             entities = [None] * n
             results = [None] * n
@@ -90,9 +113,11 @@ def extract_turns(df: DataFrame, query: str,
                     if "<" not in text and "&" not in text:
                         row = _no_markup_fast_path(entity)
                     else:
-                        t = extract_turn(text, parsed, similarity_threshold)
+                        t = extract_turn(text, parsed, similarity_threshold,
+                                         matcher)
                         row = {
-                            "entity": t.entity, "results": t.results,
+                            "entity": t.entity,
+                            "results": _stringify_results(t.results),
                             "n_results": t.n_results, "message": t.message,
                             "strategy": t.strategy, "status": t.status,
                             "error": t.error,
@@ -119,5 +144,14 @@ def extract_turns(df: DataFrame, query: str,
             out["text_nbytes"] = pd.Series(nbytes, dtype="int64")
             yield pd.DataFrame(out)
 
-    pruned = df.select("conv_id", "turn_idx", "role", "text")
-    return pruned.mapInPandas(run, schema=RESULTS_SCHEMA)
+    if has_ts:
+        from pyspark.sql.types import StructField, StructType, TimestampType
+        schema = StructType(
+            RESULTS_SCHEMA.fields[:3]
+            + [StructField("ts", TimestampType(), True)]
+            + RESULTS_SCHEMA.fields[3:])
+        pruned = df.select("conv_id", "turn_idx", "role", "ts", "text")
+    else:
+        schema = RESULTS_SCHEMA
+        pruned = df.select("conv_id", "turn_idx", "role", "text")
+    return pruned.mapInPandas(run, schema=schema)

@@ -49,9 +49,11 @@ from typing import Dict, List, Optional
 from engine.dom import Node
 from engine.kernels import constants as C
 from engine.kernels import structures
+from engine.matcher import Matcher
 
 _WS_RE = re.compile(r"\s+")
 _ALNUM_RE = re.compile(r"[a-zA-Z0-9]")
+_COMMON_ATTR_LIST = sorted(C.COMMON_ATTRIBUTES)
 
 
 @dataclass
@@ -191,9 +193,12 @@ def find_by_exact_match(container: Node, attribute: str) -> Optional[AttributeDa
     return None
 
 
-def find_attribute_value(container: Node, attribute: str) -> Optional[AttributeData]:
-    """G7 ladder (ref :460-512).  The similarity tier (G8) is model-
-    gated and returns no match in the deterministic configuration."""
+def find_attribute_value(container: Node, attribute: str,
+                         matcher: Optional[Matcher] = None,
+                         threshold: float = C.SIMILARITY_THRESHOLD) -> Optional[AttributeData]:
+    """G7 ladder (ref :460-512).  The similarity tier (G8) runs only
+    when a matcher is plugged in; with ``matcher=None`` this is the
+    reference's deterministic degraded configuration."""
     attr_lower = attribute.lower()
     is_image_or_link = False
 
@@ -216,8 +221,146 @@ def find_attribute_value(container: Node, attribute: str) -> Optional[AttributeD
     if exact:
         return exact
 
-    # G8 similarity tier would run here with a broadcast embedding
-    # model; deterministic configuration → no match (ref :506-511).
+    if matcher is not None:
+        return find_by_similarity(container, attribute, matcher, threshold)
+    return None
+
+
+# ---------------------------------------------------------------------------
+# G8 similarity tier (model-pluggable; ref :613-797)
+# ---------------------------------------------------------------------------
+
+def common_attributes_similarity_score(target: str, matcher: Matcher) -> float:
+    """Max similarity of ``target`` against COMMON_ATTRIBUTES
+    (ref :306-322)."""
+    if not target:
+        return 0.0
+    _, score = matcher.best_match(target, _COMMON_ATTR_LIST)
+    return score
+
+
+def _element_similarity_to_common_attr(container: Node, matcher: Matcher) -> float:
+    """Highest common-attribute similarity over the container's own
+    class/id/name/data-* strings (ref :613-641; itemprop excluded,
+    mirroring the reference)."""
+    texts = []
+    classes = " ".join(container.get("class", []))
+    if classes.strip():
+        texts.append(classes)
+    tag_id = container.get("id", "")
+    if tag_id.strip():
+        texts.append(tag_id)
+    tag_name = container.get("name", "")
+    if tag_name.strip():
+        texts.append(tag_name)
+    for attr_key, attr_value in container.attrs.items():
+        if attr_key.startswith("data-") and attr_value:
+            if isinstance(attr_value, str):
+                texts.append(attr_value)
+    highest = 0.0
+    for text in texts:
+        score = common_attributes_similarity_score(text, matcher)
+        if score > highest:
+            highest = score
+    return highest
+
+
+def find_by_similarity(container: Node, attribute: str, matcher: Matcher,
+                       threshold: float, depth: int = 4) -> Optional[AttributeData]:
+    """G8 — recursive similarity search, replicated verbatim from
+    ref :645-797 including its quirks:
+
+    * depth limit 4;
+    * candidates are each child's class-string / id / name / itemprop /
+      data-* values (one candidate per non-empty string, same tag);
+    * no candidates → fallback text at the common-attribute score;
+    * best candidate is a container: ≥ threshold → recurse into it
+      (keep only if strictly better), else recurse into ALL container
+      candidates and take the global max — the returned path chain is
+      prefixed with the BEST element's tag even when the winning
+      recursion came from a different element (ref :759-761);
+    * best candidate non-container below threshold → fallback text at
+      the SIMILARITY score (not the common-attr score, ref :786-789).
+    """
+    if depth <= 0:
+        return None
+    common_attr_score = _element_similarity_to_common_attr(container, matcher)
+
+    candidates: list = []
+    elements: list = []
+    fallback_text = ""
+    fallback_tag: Optional[Node] = None
+
+    for tag in container.find_all(recursive=False):
+        if tag.name in C.TEXT_TAGS and not fallback_text:
+            text = get_element_text(tag)
+            fallback_text = text if text else ""
+            fallback_tag = tag
+
+        classes = " ".join(tag.get("class", []))
+        tag_id = tag.get("id", "")
+        tag_name = tag.get("name", "")
+        itemprop = tag.get("itemprop", "")
+        for text in (classes, tag_id, tag_name, itemprop):
+            if text.strip():
+                candidates.append(text)
+                elements.append(tag)
+        for attr_key, attr_value in tag.attrs.items():
+            if attr_key.startswith("data-") and attr_value and isinstance(attr_value, str):
+                candidates.append(attr_value)
+                elements.append(tag)
+
+    if not candidates:
+        if common_attr_score > 0.0 and fallback_tag is not None:
+            return AttributeData(attribute, fallback_text, common_attr_score,
+                                 [TagIdentifier.from_element(fallback_tag)])
+        return None
+
+    best_idx, similarity_score = matcher.best_match(attribute, candidates)
+    best_element_tag = elements[best_idx]
+
+    if best_element_tag.name in C.CONTAINER_TAGS and best_element_tag.find_all(recursive=False):
+        if similarity_score >= threshold:
+            result = find_by_similarity(best_element_tag, attribute, matcher,
+                                        threshold, depth - 1)
+            if result and result.score > similarity_score:
+                return AttributeData(
+                    attribute, result.value, result.score,
+                    [TagIdentifier.from_element(best_element_tag)] + result.path_chain)
+            if common_attr_score > similarity_score and fallback_tag is not None:
+                return AttributeData(attribute, fallback_text, common_attr_score,
+                                     [TagIdentifier.from_element(fallback_tag)])
+            return None
+
+        highest_score = 0.0
+        result = None
+        evaluated = set()
+        for element in elements:
+            if id(element) in evaluated:
+                continue
+            evaluated.add(id(element))
+            if element.name in C.CONTAINER_TAGS and element.find_all(recursive=False):
+                res = find_by_similarity(element, attribute, matcher,
+                                         threshold, depth - 1)
+                if res and (res.score > highest_score or result is None):
+                    highest_score = res.score
+                    result = res
+        if highest_score > similarity_score and result is not None:
+            return AttributeData(
+                attribute, result.value, result.score,
+                [TagIdentifier.from_element(best_element_tag)] + result.path_chain)
+        if common_attr_score > similarity_score and fallback_tag is not None:
+            return AttributeData(attribute, fallback_text, common_attr_score,
+                                 [TagIdentifier.from_element(fallback_tag)])
+        return None
+
+    if similarity_score >= threshold:
+        return AttributeData(attribute, get_element_text(best_element_tag),
+                             similarity_score,
+                             [TagIdentifier.from_element(best_element_tag)])
+    if fallback_tag is not None:
+        return AttributeData(attribute, fallback_text, similarity_score,
+                             [TagIdentifier.from_element(fallback_tag)])
     return None
 
 
@@ -301,6 +444,8 @@ def find_value_using_path_chain(attribute: str, container: Node,
 def extract_attributes_from_container(
         container: Node, attributes: List[str],
         path_chains: Optional[Dict[str, List[TagIdentifier]]] = None,
+        matcher: Optional[Matcher] = None,
+        threshold: float = C.SIMILARITY_THRESHOLD,
 ) -> Dict[str, Optional[AttributeData]]:
     """Ref :326-361 — replay mode only visits attrs present in the map."""
     result: Dict[str, Optional[AttributeData]] = {}
@@ -311,11 +456,11 @@ def extract_attributes_from_container(
                 value.attribute_name = attr
                 result[attr] = value
             else:
-                result[attr] = find_attribute_value(container, attr)
+                result[attr] = find_attribute_value(container, attr, matcher, threshold)
         return result
 
     for attribute in attributes:
-        result[attribute] = find_attribute_value(container, attribute)
+        result[attribute] = find_attribute_value(container, attribute, matcher, threshold)
     return result
 
 
@@ -343,7 +488,8 @@ def all_high_confidence(extracted: Dict[str, Optional[AttributeData]],
 
 
 def parse_from_repeated_structures(root: Node, attributes: List[str],
-                                   similarity_threshold: float) -> List[Dict[str, Optional[str]]]:
+                                   similarity_threshold: float,
+                                   matcher: Optional[Matcher] = None) -> List[Dict[str, Optional[str]]]:
     """G5 + G6 (ref :123-207)."""
     container_groups = structures.find_repeated_structures(root)
     if not container_groups:
@@ -356,7 +502,9 @@ def parse_from_repeated_structures(root: Node, attributes: List[str],
     for group_idx, containers in enumerate(container_groups):
         if not containers:
             continue
-        extracted = extract_attributes_from_container(containers[0], attributes)
+        extracted = extract_attributes_from_container(
+            containers[0], attributes, matcher=matcher,
+            threshold=similarity_threshold)
         first_extracts[group_idx] = extracted
         found = [a for a, v in extracted.items() if v is not None]
         if len(found) >= max(1, len(attributes) // 2):
@@ -398,7 +546,8 @@ def parse_from_repeated_structures(root: Node, attributes: List[str],
             extracted = first_attrs
         else:
             extracted = extract_attributes_from_container(
-                container, attributes, chains)
+                container, attributes, chains, matcher=matcher,
+                threshold=similarity_threshold)
         if extracted and any(v for v in extracted.values()):
             results.append({attr: (v.value if v is not None else None)
                             for attr, v in extracted.items()})
@@ -406,13 +555,16 @@ def parse_from_repeated_structures(root: Node, attributes: List[str],
 
 
 def parse_from_likely_containers(root: Node, attributes: List[str],
-                                 similarity_threshold: float) -> List[Dict[str, Optional[str]]]:
+                                 similarity_threshold: float,
+                                 matcher: Optional[Matcher] = None) -> List[Dict[str, Optional[str]]]:
     """G4 + G9 + G10 (ref :209-266)."""
     containers = structures.find_likely_entity_containers(root, len(attributes))
     if not containers:
         return []
 
-    extracts = [extract_attributes_from_container(c, attributes)
+    extracts = [extract_attributes_from_container(
+                    c, attributes, matcher=matcher,
+                    threshold=similarity_threshold)
                 for c in containers]
 
     best_result = None
@@ -424,9 +576,21 @@ def parse_from_likely_containers(root: Node, attributes: List[str],
             attr_data = extracted[attr]
             if attr_data is None:
                 continue
-            # G9(a): the ×0.6 empty-value penalty keys off the
-            # common-attribute similarity model (absent → 0.0, never
-            # fires).  G9(b): navigation-keyword null-out is live.
+            # G9(a): high common-attribute similarity with an empty
+            # value → score ×0.6, value nulled (ref :232-239); only
+            # fires when a matcher is plugged in (the reference's
+            # model-present mode).
+            if matcher is not None:
+                common_attr_score = common_attributes_similarity_score(attr, matcher)
+                value = attr_data.value
+                if common_attr_score > 0.8 and (
+                        value is None or (isinstance(value, str)
+                                          and len(value.strip()) == 0)):
+                    extracted[attr] = AttributeData(
+                        attr, None, (attr_data.score or 0.0) * 0.6,
+                        attr_data.path_chain)
+                    attr_data = extracted[attr]
+            # G9(b): navigation-keyword null-out is live in both modes.
             if attr in C.COMMON_ATTRIBUTES and isinstance(attr_data.value, str):
                 if attr_data.value.strip().lower() in C.NAVIGATION_KEYWORDS:
                     extracted[attr] = AttributeData(attr, None, 0.0,
@@ -444,7 +608,8 @@ def parse_from_likely_containers(root: Node, attributes: List[str],
 
 
 def parse_general(root: Node, entity, attributes: List[str],
-                  similarity_threshold: float = 0.6) -> List[Dict[str, Optional[str]]]:
+                  similarity_threshold: float = 0.6,
+                  matcher: Optional[Matcher] = None) -> List[Dict[str, Optional[str]]]:
     """Full general-parser path over an already-parsed DOM (ref :84-121).
 
     The reference re-parses the HTML here (``general_parser.py:96``);
@@ -455,11 +620,11 @@ def parse_general(root: Node, entity, attributes: List[str],
     unwrap_text_property_tags(root)
     try:
         results = parse_from_repeated_structures(root, attributes,
-                                                 similarity_threshold)
+                                                 similarity_threshold, matcher)
         if results:
             return results
         results = parse_from_likely_containers(root, attributes,
-                                               similarity_threshold)
+                                               similarity_threshold, matcher)
         if results:
             return results
         return []

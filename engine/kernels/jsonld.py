@@ -29,6 +29,7 @@ import re
 from typing import Any, Dict, List, Optional
 
 from engine.dom import Node
+from engine.matcher import Matcher
 
 
 def find_json_scripts(root: Node) -> List[Node]:
@@ -139,6 +140,73 @@ def extract_using_regex(flattened: Dict[str, Any], entity: Optional[str],
     return [attrs for attrs in entity_instances.values() if attrs]
 
 
+def extract_using_semantic_matching(flattened: Dict[str, Any],
+                                    attributes: List[str],
+                                    matcher: Matcher,
+                                    threshold: float) -> List[Dict[str, Any]]:
+    """J5 — semantic key matching for attributes regex missed
+    (ref json_script_parser.py:425-479).  Quirks carried: the running
+    best uses ``>=`` so the LAST tied key wins; each found attr becomes
+    its own single-attr dict; values stay raw (not stringified)."""
+    keys = list(flattened.keys())
+    if not keys:
+        return []
+    attr_similarities: Dict[str, float] = {}
+    attr_values: Dict[str, Any] = {}
+    for attr in attributes:
+        for key in keys:
+            similarity = matcher.similarity(attr, key)
+            best = attr_similarities.get(attr, 0)
+            if similarity >= threshold and similarity >= best:
+                attr_similarities[attr] = similarity
+                attr_values[attr] = flattened[key]
+    results = []
+    for attr in attributes:
+        if attr in attr_values:
+            results.append({attr: attr_values.get(attr, "")})
+    return results
+
+
+def extract_entities_from_flattened(flattened: Dict[str, Any],
+                                    entity: Optional[str],
+                                    attributes: List[str],
+                                    matcher: Optional[Matcher] = None,
+                                    threshold: float = 0.6) -> List[Dict[str, Any]]:
+    """Regex first, then semantic fill-in for missing attributes,
+    merged BY LIST POSITION (ref json_script_parser.py:266-317 — the
+    i-th single-attr semantic dict lands on the i-th regex result,
+    a quirky alignment replicated verbatim)."""
+    results: List[Dict[str, Any]] = []
+    regex_results = extract_using_regex(flattened, entity, attributes)
+    if regex_results:
+        results.extend(regex_results)
+
+    if not results:
+        empty_attributes = list(attributes)
+    else:
+        found: set = set()
+        for result in regex_results:
+            found.update(result.keys())
+        empty_attributes = [a for a in attributes if a not in found]
+
+    if empty_attributes and matcher is not None:
+        semantic_results = extract_using_semantic_matching(
+            flattened, empty_attributes, matcher, threshold)
+        if semantic_results:
+            if not results:
+                results.extend(semantic_results)
+            else:
+                for idx, result in enumerate(semantic_results):
+                    existing = results[idx] if idx < len(results) else None
+                    if existing:
+                        for attr, value in result.items():
+                            existing[attr] = value
+                        results[idx] = existing
+                    else:
+                        results.append(result)
+    return results
+
+
 def remove_duplicates(results: List[Dict[str, str]]) -> List[Dict[str, str]]:
     """J7 — dedup by full sorted (attr, value) signature, order-preserving."""
     seen = set()
@@ -161,7 +229,9 @@ def sufficiency_gate(results: List[Dict[str, str]], attributes: List[str]) -> bo
 
 def parse_json_scripts(root: Node, entity: Optional[str],
                        attributes: List[str],
-                       scripts: Optional[List[Node]] = None) -> List[Dict[str, str]]:
+                       scripts: Optional[List[Node]] = None,
+                       matcher: Optional[Matcher] = None,
+                       threshold: float = 0.6) -> List[Dict[str, str]]:
     """Full J-path over an already-parsed DOM.
 
     The reference re-parses the raw HTML here
@@ -186,7 +256,8 @@ def parse_json_scripts(root: Node, entity: Optional[str],
             continue
         try:
             flattened = clean_flattened_json(flatten_json(data))
-            all_results.extend(extract_using_regex(flattened, entity, attributes))
+            all_results.extend(extract_entities_from_flattened(
+                flattened, entity, attributes, matcher, threshold))
         except Exception:
             continue
     return remove_duplicates(all_results)

@@ -65,8 +65,11 @@ def extract_headers(table: Node) -> List[str]:
 
 
 def match_attributes_to_headers(attributes: List[str], headers: List[str],
-                                similarity_threshold: float) -> Dict[str, int]:
-    """T3 — exact match wins; substring containment scores 0.8."""
+                                similarity_threshold: float,
+                                matcher=None) -> Dict[str, int]:
+    """T3 — exact match wins; substring containment scores 0.8; the
+    semantic tier (ref table_parser.py:166-171,175-196) runs only when
+    neither fired AND a matcher is plugged in."""
     mapping: Dict[str, int] = {}
     for attribute in attributes:
         best_match_idx = None
@@ -80,7 +83,8 @@ def match_attributes_to_headers(attributes: List[str], headers: List[str],
                 if best_match_idx is None:
                     best_match_idx = i
                     best_score = 0.8
-        # semantic-similarity tier is model-gated; absent by design here
+        if best_match_idx is None and matcher is not None and headers:
+            best_match_idx, best_score = matcher.best_match(attribute, headers)
         if best_match_idx is not None and attribute not in mapping \
                 and best_score >= similarity_threshold:
             mapping[attribute] = best_match_idx
@@ -106,7 +110,8 @@ def extract_rows_data(table: Node, header_mapping: Dict[str, int]) -> List[Dict[
 
 
 def parse_tables(root: Node, entity, attributes: List[str],
-                 similarity_threshold: float = 0.6) -> List[Dict[str, str]]:
+                 similarity_threshold: float = 0.6,
+                 matcher=None) -> List[Dict[str, str]]:
     """T6 — concat per-table results over an already-parsed DOM."""
     tables = root.find_all("table")
     if not tables:
@@ -116,6 +121,7 @@ def parse_tables(root: Node, entity, attributes: List[str],
         headers = extract_headers(table)
         if not headers:
             continue
-        mapping = match_attributes_to_headers(attributes, headers, similarity_threshold)
+        mapping = match_attributes_to_headers(attributes, headers,
+                                              similarity_threshold, matcher)
         all_results.extend(extract_rows_data(table, mapping))
     return all_results

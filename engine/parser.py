@@ -55,8 +55,11 @@ def _message(entity: Optional[str], results: list) -> str:
 
 
 def extract_turn(text: str, parsed: ParsedQuery,
-                 similarity_threshold: float = C.SIMILARITY_THRESHOLD) -> TurnExtraction:
-    """Run the strategy ladder for one turn's text against a parsed query."""
+                 similarity_threshold: float = C.SIMILARITY_THRESHOLD,
+                 matcher=None) -> TurnExtraction:
+    """Run the strategy ladder for one turn's text against a parsed
+    query.  ``matcher`` plugs in the semantic tiers (T3/G8/J5); None is
+    the reference's deterministic degraded configuration."""
     entity, attributes = parsed.entity, parsed.attributes
 
     if not entity or not attributes:
@@ -77,7 +80,9 @@ def extract_turn(text: str, parsed: ParsedQuery,
         scripts = jsonld.find_json_scripts(root)
         if scripts:
             results = jsonld.parse_json_scripts(root, entity, attributes,
-                                                scripts=scripts)
+                                                scripts=scripts,
+                                                matcher=matcher,
+                                                threshold=similarity_threshold)
             if jsonld.sufficiency_gate(results, attributes):
                 return TurnExtraction(entity, results, len(results),
                                       _message(entity, results),
@@ -87,14 +92,14 @@ def extract_turn(text: str, parsed: ParsedQuery,
         # Priority 2: table (ref :157-160)
         if table.is_table(root):
             results = table.parse_tables(root, entity, attributes,
-                                         similarity_threshold)
+                                         similarity_threshold, matcher)
             return TurnExtraction(entity, results, len(results),
                                   _message(entity, results), "table",
                                   "ok" if results else "no_results")
 
         # Priority 3: general (ref :165)
         results = general.parse_general(root, entity, attributes,
-                                        similarity_threshold)
+                                        similarity_threshold, matcher)
         return TurnExtraction(entity, results, len(results),
                               _message(entity, results), "general",
                               "ok" if results else "no_results")

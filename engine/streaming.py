@@ -1,0 +1,76 @@
+"""Structured Streaming variant of the extraction pipeline.
+
+The reference is strictly request/response (no streaming semantics —
+SURVEY.md §1.3), but a web-scale transcript pipeline also has to drain
+a continuously-landing table.  This module runs the SAME Arrow-batched
+extraction kernel as a stateless streaming transformation:
+
+* file/Iceberg-append source → ``extract_turns`` → parquet sink with a
+  checkpoint: restart-safe exactly-once via Spark's own offset
+  tracking (the streaming analogue of engine/pipeline.py's bucket
+  lineage);
+* a watermarked windowed aggregation over event time (``ts``) for the
+  monitoring surface (turns and extraction failures per conversation
+  window), tolerating late arrivals.
+
+The per-conversation ordering window is a batch concern (row_number is
+not available over unbounded streams); order is restored by the batch
+reader downstream, per SURVEY.md §3.5.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from engine.extract import extract_turns
+from engine.schema import TRANSCRIPTS_SCHEMA
+
+
+def read_transcript_stream(spark: SparkSession, input_path: str,
+                           max_files_per_trigger: int = 32) -> DataFrame:
+    """File-append streaming source over the transcripts directory."""
+    return (spark.readStream
+            .schema(TRANSCRIPTS_SCHEMA)
+            .option("maxFilesPerTrigger", str(max_files_per_trigger))
+            .parquet(input_path))
+
+
+def stream_extract(spark: SparkSession, input_path: str, output_path: str,
+                   checkpoint_path: str, query: str,
+                   available_now: bool = True):
+    """Run the extraction kernel over newly-arrived transcript files.
+
+    ``available_now=True`` drains everything currently present and
+    stops (the batch-incremental mode used in tests and backfills);
+    ``False`` runs continuously.  Returns the StreamingQuery.
+    """
+    stream = read_transcript_stream(spark, input_path)
+    extracted = extract_turns(stream, query)
+    writer = (extracted.writeStream
+              .format("parquet")
+              .option("path", output_path)
+              .option("checkpointLocation", checkpoint_path)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_metrics(spark: SparkSession, input_path: str, query: str,
+                   window: str = "10 minutes",
+                   watermark: str = "30 minutes") -> DataFrame:
+    """Watermarked windowed monitoring aggregation: turns, extracted
+    records and failures per event-time window (late data within the
+    watermark still lands in its window)."""
+    stream = read_transcript_stream(spark, input_path)
+    # ts rides through the kernel (event-time passthrough), so no
+    # stream-stream join is needed before the watermarked aggregation
+    extracted = extract_turns(stream, query)
+    return (extracted
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window))
+            .agg(F.count("*").alias("turns"),
+                 F.sum("n_results").alias("records"),
+                 F.sum(F.when(F.col("status") == "parse_error", 1)
+                       .otherwise(0)).alias("parse_failures")))

@@ -1,0 +1,98 @@
+"""Inspect the physical plans of the main pipeline stages and assert
+the scale-critical properties hold:
+
+* column pruning reaches the parquet scan (ReadSchema only carries the
+  needed columns — a scan reading `text` for a count-only query is a
+  regression);
+* filters are pushed (PushedFilters non-empty where a filter exists);
+* the extraction stage has NO shuffle other than the explicit salted
+  repartition; the ordering window adds exactly one;
+* small-side joins are broadcast (BroadcastHashJoin in the fuzzy
+  theta-join).
+
+Run: python scripts/explain_plans.py  (prints plans; exits non-zero on
+a violated property).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import Window  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def explain_str(df, mode: str = "formatted") -> str:
+    jvm = df.sparkSession._jvm
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+def main() -> int:
+    from engine.extract import extract_turns
+    from engine.queries import _REGISTRY
+    import engine.analytics  # noqa: F401
+    from engine.session import get_spark
+    from engine.synth import CANONICAL_QUERY, synth_transcripts
+
+    spark = get_spark(app_name="explain", master="local[4]",
+                      shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    failures = []
+
+    # --- extraction pipeline plan ---------------------------------------
+    synth_transcripts(spark, 10, 6).write.mode("overwrite") \
+        .parquet("/tmp/explain_transcripts")
+    df = spark.read.parquet("/tmp/explain_transcripts")
+    salted = df.repartition(4, "conv_id",
+                            (F.col("turn_idx") / F.lit(256)).cast("int"))
+    extracted = extract_turns(salted, CANONICAL_QUERY)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    final = extracted.withColumn("turn_seq", F.row_number().over(w))
+    plan = explain_str(final)
+    print("=== extraction pipeline ===")
+    print(plan)
+
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    if n_exchanges != 2:
+        failures.append(
+            f"extraction plan: expected exactly 2 shuffles "
+            f"(salt repartition + ordering window), found {n_exchanges}")
+    read_schema = re.search(r"ReadSchema: (.*)", plan)
+    if read_schema and "tool" in read_schema.group(1):
+        failures.append("extraction scan reads 'tool' — pruning regressed")
+
+    # --- filter pushdown ---------------------------------------------------
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    fplan = explain_str(li.filter(F.col("l_returnflag") == "R")
+                        .select("l_orderkey"))
+    if "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)]" \
+            not in fplan:
+        failures.append("filter not pushed to parquet scan")
+    rs = re.search(r"ReadSchema: (.*)", fplan)
+    if rs and "l_quantity" in rs.group(1):
+        failures.append("projection not pruned in filtered scan")
+
+    # --- broadcast in fuzzy theta-join ----------------------------------
+    fn, _ = _REGISTRY["fuzzy_theta_join"]
+    jplan = explain_str(fn(spark, "/root/testdata/sf0.001"))
+    if "BroadcastNestedLoopJoin" not in jplan and "BroadcastHashJoin" not in jplan:
+        failures.append("fuzzy theta-join did not broadcast the small side")
+
+    print("\n=== checks ===")
+    if failures:
+        for f in failures:
+            print("FAIL:", f)
+        spark.stop()
+        return 1
+    print("all plan properties hold")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,55 @@
+"""Structured Streaming tests: incremental extraction with checkpoint
+resume, and the watermarked monitoring aggregation."""
+
+from pyspark.sql import functions as F
+
+from engine.streaming import stream_extract, stream_metrics
+from engine.synth import CANONICAL_QUERY, synth_transcripts
+
+
+def _write_batch(spark, path, n_conversations, offset=0):
+    df = synth_transcripts(spark, n_conversations=n_conversations,
+                           turns_per_conv=6, shuffled=False)
+    if offset:
+        df = df.withColumn(
+            "conv_id", F.concat(F.lit(f"b{offset}_"), F.col("conv_id")))
+    df.coalesce(2).write.mode("append").parquet(path)
+
+
+def test_stream_extract_incremental_with_checkpoint(spark, tmp_path):
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+
+    _write_batch(spark, inp, 10)
+    q = stream_extract(spark, inp, out, cp, CANONICAL_QUERY)
+    q.awaitTermination(120)
+    first = spark.read.parquet(out).count()
+    assert first == 60
+
+    # new files land; the checkpoint makes the second drain incremental
+    _write_batch(spark, inp, 5, offset=1)
+    q2 = stream_extract(spark, inp, out, cp, CANONICAL_QUERY)
+    q2.awaitTermination(120)
+    total = spark.read.parquet(out)
+    assert total.count() == 60 + 30
+    # no row processed twice
+    assert total.select("conv_id", "turn_idx").distinct().count() == 90
+
+
+def test_stream_metrics_windowed(spark, tmp_path):
+    inp = str(tmp_path / "in")
+    _write_batch(spark, inp, 8)
+    agg = stream_metrics(spark, inp, CANONICAL_QUERY, window="10 minutes")
+    q = (agg.writeStream.format("memory").queryName("m")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "cp2"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM m").collect()
+    # append mode only emits windows the watermark has closed; with a
+    # bounded input the final windows stay open, so assert the schema
+    # and that nothing crashed rather than exact counts
+    assert {"window", "turns", "records", "parse_failures"} <= \
+        set(spark.table("m").columns)
+    assert all(r.parse_failures == 0 for r in rows)
