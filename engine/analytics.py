@@ -414,6 +414,140 @@ def q_doc_fingerprint(spark, sf_dir):
                     F.substring(fp, 1, 8).alias("fp_prefix")))
 
 
+def _hyperplane_signs(n_planes: int = 16, dims: int = 64):
+    """Deterministic ±1 random-hyperplane components from MD5 — the
+    same literal is embedded in the Spark plan and the DuckDB oracle,
+    so both engines use identical projections."""
+    import hashlib
+    signs = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dims):
+            h = hashlib.md5(f"{p}:{d}".encode()).hexdigest()
+            row.append(1 if int(h[0], 16) % 2 == 0 else -1)
+        signs.append(row)
+    return signs
+
+
+_N_PLANES, _N_BANDS, _DIMS = 16, 4, 64
+_SIGNS = _hyperplane_signs(_N_PLANES, _DIMS)
+_SIGNS_SQL = ("[" + ", ".join(
+    "[" + ", ".join(str(v) for v in row) + "]" for row in _SIGNS) + "]")
+_SIGNS_SPARK = ("array(" + ", ".join(
+    "array(" + ", ".join(str(v) for v in row) + ")" for row in _SIGNS) + ")")
+
+_DUCK_ANN_LSH = f"""
+WITH signs AS (SELECT {_SIGNS_SQL} AS s),
+bits AS (
+  SELECT e.vec_id, p.p,
+         CASE WHEN (SELECT SUM(CAST(e.embedding[d.d] AS DOUBLE)
+                               * s.s[p.p + 1][d.d])
+                    FROM range(1, {_DIMS} + 1) d(d)) > 0
+              THEN 1 ELSE 0 END AS bit
+  FROM embeddings e, range(0, {_N_PLANES}) p(p), signs s
+), bands AS (
+  SELECT vec_id, p // 4 AS band_id,
+         SUM(bit << (p % 4)) AS band_key
+  FROM bits GROUP BY vec_id, p // 4
+), cand AS (
+  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.vec_id <> b.vec_id
+), scored AS (
+  SELECT c.va, c.vb,
+         list_cosine_similarity(ea.embedding::DOUBLE[],
+                                eb.embedding::DOUBLE[]) AS cos_raw
+  FROM cand c JOIN embeddings ea ON ea.vec_id = c.va
+              JOIN embeddings eb ON eb.vec_id = c.vb
+)
+SELECT va AS vec_id, vb AS neighbor_id, ROUND(cos_raw, 4) AS cosine FROM (
+  SELECT va, vb, cos_raw,
+         ROW_NUMBER() OVER (PARTITION BY va
+                            ORDER BY ROUND(cos_raw, 6) DESC, vb) AS rn
+  FROM scored) WHERE rn = 1
+"""
+
+
+@register("ann_lsh_top1", _DUCK_ANN_LSH)
+def q_ann_lsh_top1(spark, sf_dir):
+    """ANN scale path: sign-random-projection LSH (16 hyperplanes, 4
+    bands of 4 bits) buckets the vectors; each vector's top-1 neighbor
+    is searched only among band collisions — the O(n²) distance matrix
+    is never materialized.  The hyperplanes are MD5-derived literals
+    shared verbatim with the oracle."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "e", F.expr("transform(embedding, x -> cast(x AS double))"))
+    dot = (f"aggregate(zip_with(e, element_at({_SIGNS_SPARK}, p + 1), "
+           f"(x, s) -> x * s), 0D, (acc, v) -> acc + v)")
+    bits = (emb.select("vec_id", "e",
+                       F.explode(F.sequence(F.lit(0), F.lit(_N_PLANES - 1)))
+                        .alias("p"))
+            .withColumn("bit", F.expr(f"CASE WHEN ({dot}) > 0 THEN 1 ELSE 0 END")))
+    bands = (bits.groupBy("vec_id", (F.col("p") / 4).cast("int").alias("band_id"))
+             .agg(F.sum(F.expr("shiftleft(bit, p % 4)")).alias("band_key")))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+                   & (F.col("a.band_key") == F.col("b.band_key"))
+                   & (F.col("a.vec_id") != F.col("b.vec_id")))
+            .select(F.col("a.vec_id").alias("va"),
+                    F.col("b.vec_id").alias("vb")).distinct())
+    ea = emb.select(F.col("vec_id").alias("va"), F.col("e").alias("e_a"))
+    eb = emb.select(F.col("vec_id").alias("vb"), F.col("e").alias("e_b"))
+    dotab = "aggregate(zip_with(e_a, e_b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    na = "sqrt(aggregate(transform(e_a, x -> x * x), 0D, (acc, v) -> acc + v))"
+    nb = "sqrt(aggregate(transform(e_b, x -> x * x), 0D, (acc, v) -> acc + v))"
+    scored = (cand.join(ea, "va").join(eb, "vb")
+              .select("va", "vb",
+                      F.expr(f"({dotab}) / (({na}) * ({nb}))").alias("cos_raw")))
+    w = Window.partitionBy("va").orderBy(F.round("cos_raw", 6).desc(), F.col("vb"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("va").alias("vec_id"),
+                    F.col("vb").alias("neighbor_id"),
+                    F.round("cos_raw", 4).alias("cosine")))
+
+
+@register("sessionize", """
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       COUNT(*) AS n_events,
+       MIN(event_id) AS first_event
+FROM (
+  SELECT user_id, event_id,
+         SUM(is_new) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM (
+    SELECT user_id, event_id, ts,
+           CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL THEN 1
+                WHEN date_diff('second',
+                               lag(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id),
+                               ts) > 1800 THEN 1
+                ELSE 0 END AS is_new
+    FROM events))
+GROUP BY user_id, session_id
+""")
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity): lag + cumulative
+    sum over an ordered per-user window — the batch analogue of a
+    stateful streaming session window."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    is_new = F.when(F.lag("ts").over(w).isNull(), 1).otherwise(
+        F.when(F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+               > 1800, 1).otherwise(0))
+    sess = (ev.withColumn("is_new", is_new)
+            .withColumn("session_id",
+                        F.sum("is_new").over(
+                            w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (sess.groupBy("user_id", "session_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.min("event_id").alias("first_event")))
+
+
 @register("embedding_norm_stats", """
 SELECT label, COUNT(*) AS n,
        ROUND(AVG(sqrt(list_sum(list_transform(embedding::DOUBLE[],

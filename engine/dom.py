@@ -144,13 +144,27 @@ class Node:
     def find_all(self, name=None, attrs: Optional[AttrFilter] = None,
                  recursive: bool = True, limit: Optional[int] = None,
                  **kwargs) -> List["Node"]:
-        out: List[Node] = []
         name_filter = _normalize_name(name)
         merged = dict(attrs) if attrs else {}
         for key, val in kwargs.items():
             if key == "class_":
                 key = "class"
             merged[key] = val
+        out: List[Node] = []
+        if not merged:
+            # hot path: tag-name-only filter, no attribute matching
+            if not recursive:
+                if name_filter is None:
+                    out = [c for c in self.children if isinstance(c, Node)]
+                else:
+                    out = [c for c in self.children
+                           if isinstance(c, Node) and c.name in name_filter]
+            elif name_filter is None:
+                out = list(self.iter_elements(True))
+            else:
+                out = [el for el in self.iter_elements(True)
+                       if el.name in name_filter]
+            return out[:limit] if limit is not None else out
         for el in self.iter_elements(recursive):
             if _matches(el, name_filter, merged):
                 out.append(el)

@@ -33,11 +33,23 @@ from engine.matcher import Matcher
 
 
 def find_json_scripts(root: Node) -> List[Node]:
-    """J1 — collect JSON-bearing script tags, deduping __NEXT_DATA__ by id."""
-    scripts: List[Node] = []
-    scripts.extend(root.find_all("script", {"type": "application/ld+json"}))
-    scripts.extend(root.find_all("script", {"type": "application/json"}))
-    next_data = root.find_all("script", {"id": "__NEXT_DATA__"})
+    """J1 — collect JSON-bearing script tags, deduping __NEXT_DATA__ by
+    id.  One tree walk (the reference scans three times); the three
+    collection orders are preserved."""
+    ld_json: List[Node] = []
+    app_json: List[Node] = []
+    next_data: List[Node] = []
+    for el in root.iter_elements(recursive=True):
+        if el.name != "script":
+            continue
+        stype = el.attrs.get("type")
+        if stype == "application/ld+json":
+            ld_json.append(el)
+        elif stype == "application/json":
+            app_json.append(el)
+        if el.attrs.get("id") == "__NEXT_DATA__":
+            next_data.append(el)
+    scripts = ld_json + app_json
     if next_data:
         existing_ids = {s.get("id") for s in scripts if s.get("id")}
         for script in next_data:

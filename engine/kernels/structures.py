@@ -30,15 +30,29 @@ _GROUPED_TAGS = ("div", "span", "article", "section")
 
 
 def find_repeated_structures(root: Node) -> List[List[Node]]:
-    """G2 — candidate container groups, largest group first."""
-    elements_by_class: Dict[str, List[Node]] = {}
+    """G2 — candidate container groups, largest group first.
 
+    Single tree walk; the reference walks the tree once per tag name
+    plus once for lists (5 walks).  Ordering semantics are preserved
+    exactly: per-class member lists receive all divs (document order),
+    then all spans, etc. — the insertion order the reference's
+    per-tag-name loops produce, which matters because the final sort
+    is stable and ties break on it."""
+    by_tag: Dict[str, List[Node]] = {t: [] for t in _GROUPED_TAGS}
+    lists: List[Node] = []
+    for el in root.iter_elements(recursive=True):
+        if el.name in by_tag and "class" in el.attrs:
+            by_tag[el.name].append(el)
+        elif el.name in ("ul", "ol"):
+            lists.append(el)
+
+    elements_by_class: Dict[str, List[Node]] = {}
     for tag_name in _GROUPED_TAGS:
-        for element in root.find_all(tag_name, class_=True):
+        for element in by_tag[tag_name]:
             class_name = " ".join(element.get("class", []))
             elements_by_class.setdefault(class_name, []).append(element)
 
-    for list_element in root.find_all(["ul", "ol"]):
+    for list_element in lists:
         list_items = list_element.find_all("li")
         class_name = " ".join(list_element.get("class", []))
         elements_by_class.setdefault(class_name, []).extend(list_items)
@@ -47,12 +61,26 @@ def find_repeated_structures(root: Node) -> List[List[Node]]:
     return sorted(groups, key=len, reverse=True)
 
 
+def _descendant_counts(root: Node, counts: dict) -> int:
+    total = 0
+    for child in root.children:
+        if isinstance(child, Node):
+            total += 1 + _descendant_counts(child, counts)
+    counts[id(root)] = total
+    return total
+
+
 def find_likely_entity_containers(root: Node, num_attributes: int = 2) -> List[Node]:
-    """G4 — elements (document order) with ≥ num_attributes descendants."""
+    """G4 — elements (document order) with ≥ num_attributes descendants.
+
+    Descendant counts come from one post-order pass (the reference
+    materializes ``find_all()`` per element — O(n²))."""
+    counts: dict = {}
+    _descendant_counts(root, counts)
     likely: List[Node] = []
     for el in root.iter_elements(recursive=True):
         if el.name in _SKIP_TAGS:
             continue
-        if len(el.find_all()) >= num_attributes:
+        if counts[id(el)] >= num_attributes:
             likely.append(el)
     return likely

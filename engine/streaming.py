@@ -57,6 +57,54 @@ def stream_extract(spark: SparkSession, input_path: str, output_path: str,
     return writer.start()
 
 
+CONV_STATE_SCHEMA = "n_turns LONG, n_records LONG, max_turn_idx LONG"
+CONV_PROGRESS_SCHEMA = ("conv_id STRING, n_turns LONG, n_records LONG, "
+                        "max_turn_idx LONG")
+
+
+def _conversation_progress_fn(key, pdfs, state):
+    """Custom stateful operator: accumulate per-conversation extraction
+    progress across micro-batches.  State (turns seen, records
+    extracted, max turn index) lives in the state store and survives
+    restarts through the checkpoint."""
+    import pandas as pd  # noqa: F811 — runs on executors
+
+    if state.exists:
+        n_turns, n_records, max_turn = state.get
+    else:
+        n_turns, n_records, max_turn = 0, 0, -1
+    for pdf in pdfs:
+        n_turns += len(pdf)
+        n_records += int(pdf["n_results"].sum())
+        if len(pdf):
+            max_turn = max(max_turn, int(pdf["turn_idx"].max()))
+    state.update((n_turns, n_records, max_turn))
+    yield pd.DataFrame({"conv_id": [key[0]], "n_turns": [n_turns],
+                        "n_records": [n_records], "max_turn_idx": [max_turn]})
+
+
+def stream_conversation_progress(spark: SparkSession, input_path: str,
+                                 query: str) -> DataFrame:
+    """Stateful per-conversation progress stream (applyInPandasWithState).
+
+    Emits one updated row per conversation per micro-batch; use with
+    ``outputMode("update")``.  Restarting against the same checkpoint
+    resumes the accumulated state exactly — the stateful analogue of
+    the batch pipeline's lineage resume."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = read_transcript_stream(spark, input_path)
+    extracted = extract_turns(stream, query)
+    return (extracted
+            .groupBy("conv_id")
+            .applyInPandasWithState(
+                _conversation_progress_fn,
+                outputStructType=CONV_PROGRESS_SCHEMA,
+                stateStructType=CONV_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
 def stream_metrics(spark: SparkSession, input_path: str, query: str,
                    window: str = "10 minutes",
                    watermark: str = "30 minutes") -> DataFrame:

@@ -37,6 +37,50 @@ def test_stream_extract_incremental_with_checkpoint(spark, tmp_path):
     assert total.select("conv_id", "turn_idx").distinct().count() == 90
 
 
+def test_stateful_conversation_progress_resumes_across_restarts(spark, tmp_path):
+    """applyInPandasWithState: per-conversation counters accumulate
+    across micro-batches AND across restarts (state store in the
+    checkpoint)."""
+    from engine.streaming import stream_conversation_progress
+
+    inp = str(tmp_path / "in")
+    cp = str(tmp_path / "cp")
+    out = str(tmp_path / "out")
+
+    def sink(batch_df, batch_id):
+        (batch_df.withColumn("emit_seq", F.lit(batch_id))
+         .write.mode("append").parquet(out))
+
+    def run_once():
+        prog = stream_conversation_progress(spark, inp, CANONICAL_QUERY)
+        q = (prog.writeStream.foreachBatch(sink)
+             .outputMode("update").option("checkpointLocation", cp)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        rows = spark.read.parquet(out).collect()
+        latest = {}
+        for r in rows:
+            if r.conv_id not in latest or r.emit_seq > latest[r.conv_id].emit_seq:
+                latest[r.conv_id] = r
+        return latest
+
+    _write_batch(spark, inp, 6)  # 6 convs × 6 turns
+    first = run_once()
+    assert all(r.n_turns == 6 for r in first.values())
+    assert all(r.max_turn_idx == 5 for r in first.values())
+
+    # append MORE turns for the same conversations: restart against the
+    # same checkpoint; the state must resume, not reset
+    df = synth_transcripts(spark, n_conversations=6, turns_per_conv=6,
+                           shuffled=False)
+    df = df.withColumn("turn_idx", F.col("turn_idx") + 6)
+    df.coalesce(2).write.mode("append").parquet(inp)
+
+    second = run_once()
+    assert all(r.n_turns == 12 for r in second.values())
+    assert all(r.max_turn_idx == 11 for r in second.values())
+
+
 def test_stream_metrics_windowed(spark, tmp_path):
     inp = str(tmp_path / "in")
     _write_batch(spark, inp, 8)
