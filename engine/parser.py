@@ -108,20 +108,47 @@ def extract_turn(text: str, parsed: ParsedQuery,
                               "none", "parse_error", str(exc))
 
 
-def parse(html: str, query: str, full_ml: bool = False) -> dict:
+def parse(html: str, query: str, full_ml: bool = False,
+          matcher=None, ml_model=None) -> dict:
     """Reference-shaped response envelope for one page (ref :56-230).
 
-    ``full_ml`` is accepted for API parity; the ML extraction tier
-    (SURVEY.md §2.6) requires bundled seq2seq weights the deterministic
-    build does not ship, so both paths run the rule ladder."""
+    ``full_ml=True`` routes through the ML tier when an ``ml_model``
+    (engine.ml.Seq2SeqModel) is supplied; without one it degrades to
+    the rule ladder exactly as the reference does when its weights are
+    absent (``ml_html_parser/parser.py:68-70``)."""
+    import time
+
+    start = time.time()
     parsed = parse_query_hybrid(query)
-    extraction = extract_turn(html, parsed)
+
+    if full_ml and ml_model is not None:
+        from engine import ml as _ml
+
+        entity, attributes = _ml.ml_parse_query(query, ml_model)
+        if not entity and not attributes:
+            extraction = TurnExtraction(
+                None, [], 0,
+                "Could not extract entity and attributes from query",
+                "none", "bad_query")
+        else:
+            results = _ml.ml_parse_html(html, query, attributes, ml_model)
+            extraction = TurnExtraction(entity, results, len(results),
+                                        _message(entity, results), "ml",
+                                        "ok" if results else "no_results")
+            parsed = ParsedQuery(entity=entity, attributes=attributes,
+                                 method="ml")
+    else:
+        extraction = extract_turn(html, parsed, matcher=matcher)
+
+    processing_ms = round((time.time() - start) * 1000)
 
     if extraction.status == "bad_query":
         return {
             "results": {},
             "message": extraction.message,
-            "metadata": {"model_used": "custom-html-parser-v1", "error": True},
+            "metadata": {"processing_time_ms": processing_ms,
+                         "model_used": "custom-html-parser-v1",
+                         "error": True},
         }
 
     entity_plural = nouns.pluralize(extraction.entity)
@@ -129,6 +156,8 @@ def parse(html: str, query: str, full_ml: bool = False) -> dict:
         "results": {entity_plural: extraction.results},
         "message": extraction.message,
         "metadata": {
+            "processing_time_ms": processing_ms,
+            "model_used": {"llm_model": "", "similarity_model": ""},
             "entity": extraction.entity,
             "attributes_requested": parsed.attributes,
             "approaches_used": {
