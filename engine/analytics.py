@@ -183,8 +183,16 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     uniform hash key — so the O(n²) pair space is never materialized;
     only colliding buckets join, and AQE handles any hot bucket."""
     docs = _t(spark, sf_dir, "documents")
-    shingled = docs.select(
-        "doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("sh"))
+    # materialize the token array once — inlining the split inside the
+    # transform lambda would re-split the text per shingle (O(len²))
+    toks = docs.select("doc_id", F.expr(_SPARK_TOKS).alias("toks"))
+    shingle_expr = (
+        "CASE WHEN size(toks) >= 3 THEN "
+        "transform(sequence(1, size(toks) - 2), "
+        "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), "
+        "' ', element_at(toks, i + 2))) ELSE array() END")
+    shingled = toks.select(
+        "doc_id", F.explode(F.expr(shingle_expr)).alias("sh"))
     dist = shingled.distinct()
     sig = dist.groupBy("doc_id").agg(*[
         F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("sh")).cast("binary")))
