@@ -106,16 +106,22 @@ class Node:
 
     # -- text -------------------------------------------------------------
     def get_text(self) -> str:
+        # iterative: adversarially deep markup must not hit the Python
+        # recursion limit inside the extraction kernel
         parts: List[str] = []
-        self._collect_text(parts)
-        return "".join(parts)
-
-    def _collect_text(self, parts: List[str]) -> None:
-        for child in self.children:
+        stack: List[list] = [self.children[::-1]]
+        while stack:
+            top = stack[-1]
+            if not top:
+                stack.pop()
+                continue
+            child = top.pop()
             if isinstance(child, Node):
-                child._collect_text(parts)
+                if child.children:
+                    stack.append(child.children[::-1])
             else:
                 parts.append(child)
+        return "".join(parts)
 
     @property
     def string(self) -> Optional[str]:

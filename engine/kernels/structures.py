@@ -62,12 +62,23 @@ def find_repeated_structures(root: Node) -> List[List[Node]]:
 
 
 def _descendant_counts(root: Node, counts: dict) -> int:
-    total = 0
-    for child in root.children:
-        if isinstance(child, Node):
-            total += 1 + _descendant_counts(child, counts)
-    counts[id(root)] = total
-    return total
+    """Iterative post-order — deep trees must not blow the recursion
+    limit inside the kernel."""
+    stack = [(root, False)]
+    while stack:
+        node, expanded = stack.pop()
+        if expanded:
+            total = 0
+            for child in node.children:
+                if isinstance(child, Node):
+                    total += 1 + counts[id(child)]
+            counts[id(node)] = total
+        else:
+            stack.append((node, True))
+            for child in node.children:
+                if isinstance(child, Node):
+                    stack.append((child, False))
+    return counts[id(root)]
 
 
 def find_likely_entity_containers(root: Node, num_attributes: int = 2) -> List[Node]:

@@ -58,8 +58,11 @@ class JobConfig:
     similarity_threshold: float = 0.6
     input_snapshot: Optional[str] = None
     run_id: str = field(default_factory=lambda: uuid.uuid4().hex[:12])
-    # test hook: raise after this many commit groups (simulated crash)
-    fail_after_groups: int = 0
+    # test hooks: simulated crashes
+    fail_after_groups: int = 0         # raise after N committed groups
+    fail_before_lineage_group: int = 0  # raise after group N's output
+    #                                     write but BEFORE its lineage
+    #                                     commit (duplicate-risk window)
 
 
 def _read_input(spark: SparkSession, cfg: JobConfig) -> DataFrame:
@@ -80,10 +83,17 @@ def _completed_buckets(spark: SparkSession, cfg: JobConfig) -> set:
 
 
 def _write_output(df: DataFrame, cfg: JobConfig) -> None:
+    """Idempotent per-bucket write: a crash between a bucket's output
+    write and its lineage commit means the bucket re-runs on resume —
+    dynamic partition OVERWRITE replaces exactly the re-run buckets'
+    partitions instead of appending duplicates.  (Iceberg gets the
+    same via overwritePartitions.)"""
     if cfg.io_format == "iceberg":
-        df.writeTo(cfg.output_path).append()
+        df.writeTo(cfg.output_path).overwritePartitions()
     else:
-        df.write.mode("append").partitionBy("bucket").parquet(cfg.output_path)
+        (df.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("bucket").parquet(cfg.output_path))
 
 
 class SimulatedFailure(RuntimeError):
@@ -131,6 +141,11 @@ def run_extraction_job(spark: SparkSession, cfg: JobConfig) -> dict:
         extracted = extracted.withColumn("turn_seq", F.row_number().over(order))
 
         _write_output(extracted, cfg)
+
+        if cfg.fail_before_lineage_group and gi + 1 == cfg.fail_before_lineage_group:
+            raise SimulatedFailure(
+                f"injected failure after output write, before lineage "
+                f"commit, group {gi + 1}")
 
         # lineage from the written output: column-pruned scan
         written = spark.read.parquet(cfg.output_path) \

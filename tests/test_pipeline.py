@@ -77,6 +77,37 @@ def test_resume_after_failure_equals_single_run(spark, tmp_path):
     assert metrics3["buckets_processed"] == 0
 
 
+def test_crash_between_write_and_lineage_no_duplicates(spark, tmp_path):
+    """The duplicate-risk window: output written, lineage not yet
+    committed, crash.  The resume re-runs that bucket group; dynamic
+    partition overwrite must replace (not append) its output."""
+    inp = _mk_input(spark, tmp_path, n_conversations=12, turns_per_conv=6)
+
+    ref_cfg = JobConfig(input_path=inp, output_path=str(tmp_path / "ref_out"),
+                        lineage_path=str(tmp_path / "ref_lin"),
+                        query=CANONICAL_QUERY, n_buckets=8)
+    run_extraction_job(spark, ref_cfg)
+
+    cfg = JobConfig(input_path=inp, output_path=str(tmp_path / "out"),
+                    lineage_path=str(tmp_path / "lineage"),
+                    query=CANONICAL_QUERY, n_buckets=8,
+                    buckets_per_commit=3, fail_before_lineage_group=2)
+    with pytest.raises(SimulatedFailure):
+        run_extraction_job(spark, cfg)
+    # group 2's output exists on disk but its lineage does not
+    assert spark.read.parquet(cfg.lineage_path) \
+        .select("bucket").distinct().count() == 3
+
+    cfg2 = JobConfig(input_path=inp, output_path=cfg.output_path,
+                     lineage_path=cfg.lineage_path,
+                     query=CANONICAL_QUERY, n_buckets=8, buckets_per_commit=3)
+    run_extraction_job(spark, cfg2)
+
+    a = _results_sorted(spark, cfg.output_path).collect()
+    b = _results_sorted(spark, ref_cfg.output_path).collect()
+    assert a == b  # no duplicates, no gaps
+
+
 def test_skew_salting_bounds_task_input(spark, tmp_path):
     """One conversation with 100× the turns must not serialize into a
     single task: with salt_block B its turns spread over ≥ turns/B
