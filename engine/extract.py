@@ -33,7 +33,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from engine.kernels import constants as C
-from engine.parser import extract_turn
+from engine.parser import extract_from_root, extract_turn
 from engine.query_parse import ParsedQuery, parse_query_hybrid
 from engine.schema import RESULTS_SCHEMA
 
@@ -63,7 +63,8 @@ def _stringify_results(results):
 
 def extract_turns(df: DataFrame, query: str,
                   similarity_threshold: float = C.SIMILARITY_THRESHOLD,
-                  matcher_factory=None) -> DataFrame:
+                  matcher_factory=None,
+                  jvm_prose_fast_path: bool = True) -> DataFrame:
     """Map a transcripts DataFrame to the results schema for one query.
 
     Input must carry (conv_id, turn_idx, role, text); extra columns are
@@ -154,4 +155,105 @@ def extract_turns(df: DataFrame, query: str,
     else:
         schema = RESULTS_SCHEMA
         pruned = df.select("conv_id", "turn_idx", "role", "text")
+
+    if bad_query or not jvm_prose_fast_path:
+        return pruned.mapInPandas(run, schema=schema)
+
+    # JVM prose fast path: turns with no markup at all never cross the
+    # Arrow boundary — their (deterministic) envelope is computed with
+    # codegen'd expressions and unioned back.  At transcript scale most
+    # turns are prose, so this removes the bulk of the Python transfer.
+    from pyspark.sql import functions as F
+
+    is_markup = (F.col("text").isNotNull()
+                 & (F.col("text").contains("<") | F.col("text").contains("&")))
+    markup_out = pruned.filter(is_markup).mapInPandas(run, schema=schema)
+    prose = pruned.filter(~is_markup)
+    prose_cols = [
+        F.col("conv_id"), F.col("turn_idx"), F.col("role"),
+        *([F.col("ts")] if has_ts else []),
+        F.lit(entity).alias("entity"),
+        F.expr("array()").cast(schema["results"].dataType).alias("results"),
+        F.lit(0).cast("int").alias("n_results"),
+        F.lit(f"Found 0 {entity} on this page").alias("message"),
+        F.lit("general").alias("strategy"),
+        F.lit("no_results").alias("status"),
+        F.lit(None).cast("string").alias("error"),
+        F.coalesce(F.octet_length("text"), F.lit(0)).cast("long")
+         .alias("text_nbytes"),
+    ]
+    return markup_out.unionAll(prose.select(*prose_cols))
+
+
+def extract_turns_multi(df: DataFrame, queries: dict,
+                        similarity_threshold: float = C.SIMILARITY_THRESHOLD,
+                        matcher_factory=None) -> DataFrame:
+    """Run MANY queries over the corpus in ONE pass.
+
+    ``queries`` maps query_id → NL query string.  Each turn's text is
+    tokenized and DOM-parsed exactly once; every query's strategy
+    ladder then runs over the shared tree — at 100 TB this replaces N
+    scans + N parses with one of each.  Output: one row per
+    (turn, query_id), schema = results schema + leading ``query_id``.
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from engine import dom
+
+    parsed_queries = [(qid, parse_query_hybrid(q))
+                      for qid, q in sorted(queries.items())]
+
+    schema = StructType([StructField("query_id", StringType(), False)]
+                        + RESULTS_SCHEMA.fields)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        matcher = matcher_factory() if matcher_factory is not None else None
+        for batch in batches:
+            rows = {name: [] for name in
+                    ("query_id", "conv_id", "turn_idx", "role", "entity",
+                     "results", "n_results", "message", "strategy",
+                     "status", "error", "text_nbytes")}
+            texts = batch["text"]
+            for i in range(len(batch)):
+                text = texts.iat[i] or ""
+                nbytes = len(text.encode("utf-8", errors="ignore"))
+                markup = "<" in text or "&" in text
+                root = None
+                if markup:
+                    try:
+                        root = dom.parse_html(text)
+                    except Exception:
+                        root = None
+                for qid, parsed in parsed_queries:
+                    if not parsed.entity or not parsed.attributes:
+                        t = {"entity": parsed.entity, "results": [],
+                             "n_results": 0,
+                             "message": "Could not extract entity and "
+                                        "attributes from query",
+                             "strategy": "none", "status": "bad_query",
+                             "error": None}
+                    elif root is None:
+                        t = _no_markup_fast_path(parsed.entity)
+                    else:
+                        te = extract_from_root(root, parsed,
+                                               similarity_threshold, matcher)
+                        t = {"entity": te.entity,
+                             "results": _stringify_results(te.results),
+                             "n_results": te.n_results,
+                             "message": te.message, "strategy": te.strategy,
+                             "status": te.status, "error": te.error}
+                    rows["query_id"].append(qid)
+                    rows["conv_id"].append(batch["conv_id"].iat[i])
+                    rows["turn_idx"].append(batch["turn_idx"].iat[i])
+                    rows["role"].append(batch["role"].iat[i])
+                    rows["text_nbytes"].append(nbytes)
+                    for k in ("entity", "results", "n_results", "message",
+                              "strategy", "status", "error"):
+                        rows[k].append(t[k])
+            out = pd.DataFrame(rows)
+            out["n_results"] = out["n_results"].astype("int32")
+            out["text_nbytes"] = out["text_nbytes"].astype("int64")
+            yield out
+
+    pruned = df.select("conv_id", "turn_idx", "role", "text")
     return pruned.mapInPandas(run, schema=schema)

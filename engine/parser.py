@@ -73,6 +73,19 @@ def extract_turn(text: str, parsed: ParsedQuery,
         return TurnExtraction(entity, [], 0, f"Parsing error: {exc}",
                               "none", "parse_error", str(exc))
 
+    return extract_from_root(root, parsed, similarity_threshold, matcher)
+
+
+def extract_from_root(root, parsed: ParsedQuery,
+                      similarity_threshold: float = C.SIMILARITY_THRESHOLD,
+                      matcher=None) -> TurnExtraction:
+    """Strategy ladder over an already-parsed DOM — lets multi-query
+    extraction share ONE parse per turn across all queries (the
+    reference re-parses per request; SURVEY.md §4.1).  Note the general
+    parser's TEXT_PROPERTY_TAGS unwrap mutates the tree; the mutation
+    is idempotent and invisible to the JSON/table strategies, so tree
+    sharing across queries is output-equivalent to fresh parses."""
+    entity, attributes = parsed.entity, parsed.attributes
     try:
         # Priority 1: JSON scripts + sufficiency gate (ref :74-102).
         # Scripts are discovered once and reused (the reference scans

@@ -1,0 +1,35 @@
+"""Multi-query single-pass extraction: shared DOM parse per turn must
+be output-equivalent to independent single-query runs."""
+
+from pyspark.sql import functions as F
+
+from engine.extract import extract_turns, extract_turns_multi
+from engine.synth import CANONICAL_QUERY, synth_transcripts
+
+QUERIES = {
+    "q_book": CANONICAL_QUERY,
+    "q_title": "List book title, price and availability",
+    "q_bad": "the",
+}
+
+
+def _canon(df, extra=()):
+    cols = ["conv_id", "turn_idx", "entity", "results", "n_results",
+            "message", "strategy", "status", *extra]
+    return [tuple(r) for r in df.select(*cols).orderBy("conv_id", "turn_idx").collect()]
+
+
+def test_multi_equals_singles(spark):
+    df = synth_transcripts(spark, n_conversations=12, turns_per_conv=6)
+    multi = extract_turns_multi(df, QUERIES)
+    assert multi.count() == df.count() * len(QUERIES)
+    for qid, query in QUERIES.items():
+        got = _canon(multi.filter(F.col("query_id") == qid))
+        want = _canon(extract_turns(df, query))
+        assert got == want, qid
+
+
+def test_multi_query_id_column_first(spark):
+    df = synth_transcripts(spark, n_conversations=3, turns_per_conv=3)
+    multi = extract_turns_multi(df, {"a": CANONICAL_QUERY})
+    assert multi.columns[0] == "query_id"
