@@ -64,7 +64,9 @@ def _stringify_results(results):
 def extract_turns(df: DataFrame, query: str,
                   similarity_threshold: float = C.SIMILARITY_THRESHOLD,
                   matcher_factory=None,
-                  jvm_prose_fast_path: bool = True) -> DataFrame:
+                  jvm_prose_fast_path: bool = True,
+                  salt_partitions: Optional[int] = None,
+                  salt_block: int = 256) -> DataFrame:
     """Map a transcripts DataFrame to the results schema for one query.
 
     Input must carry (conv_id, turn_idx, role, text); extra columns are
@@ -75,6 +77,14 @@ def extract_turns(df: DataFrame, query: str,
     plugs in the semantic tiers; one matcher is built per task so its
     string-pair cache amortizes across the partition — never per row
     (SURVEY.md §4.1: do not re-encode inside the recursion).
+
+    ``salt_partitions`` (optional) applies the skew-salting
+    repartition on ``(conv_id, turn_idx div salt_block)`` INSIDE this
+    operator, after the prose/markup split — so only markup rows (the
+    CPU-heavy ones) are shuffled and prose rows flow scan→output with
+    no shuffle at all.  Pre-repartitioning the input instead would
+    replay the shuffle once per branch (the plan-check regression this
+    parameter exists to avoid).
     """
     parsed: ParsedQuery = parse_query_hybrid(query)
     bad_query = not parsed.entity or not parsed.attributes
@@ -156,18 +166,25 @@ def extract_turns(df: DataFrame, query: str,
         schema = RESULTS_SCHEMA
         pruned = df.select("conv_id", "turn_idx", "role", "text")
 
+    from pyspark.sql import functions as F
+
+    def _salt(d: DataFrame) -> DataFrame:
+        if salt_partitions:
+            return d.repartition(
+                salt_partitions, "conv_id",
+                (F.col("turn_idx") / F.lit(salt_block)).cast("int"))
+        return d
+
     if bad_query or not jvm_prose_fast_path:
-        return pruned.mapInPandas(run, schema=schema)
+        return _salt(pruned).mapInPandas(run, schema=schema)
 
     # JVM prose fast path: turns with no markup at all never cross the
     # Arrow boundary — their (deterministic) envelope is computed with
     # codegen'd expressions and unioned back.  At transcript scale most
     # turns are prose, so this removes the bulk of the Python transfer.
-    from pyspark.sql import functions as F
-
     is_markup = (F.col("text").isNotNull()
                  & (F.col("text").contains("<") | F.col("text").contains("&")))
-    markup_out = pruned.filter(is_markup).mapInPandas(run, schema=schema)
+    markup_out = _salt(pruned.filter(is_markup)).mapInPandas(run, schema=schema)
     prose = pruned.filter(~is_markup)
     prose_cols = [
         F.col("conv_id"), F.col("turn_idx"), F.col("role"),

@@ -124,14 +124,13 @@ def run_extraction_job(spark: SparkSession, cfg: JobConfig) -> dict:
         t0 = time.time()
         part = df.filter(F.col("bucket").isin(group))
 
-        # skew salting: spread long conversations across tasks for the
-        # CPU-heavy extraction map (semantics-free — pure row map)
-        salted = part.repartition(
-            shuffle_n, "conv_id",
-            (F.col("turn_idx") / F.lit(cfg.salt_block)).cast("int"))
-
-        extracted = extract_turns(salted.drop("bucket"), cfg.query,
-                                  cfg.similarity_threshold)
+        # skew salting happens INSIDE extract_turns, after its
+        # prose/markup split: only the CPU-heavy markup rows shuffle;
+        # prose rows flow scan -> output with no shuffle
+        extracted = extract_turns(part.drop("bucket"), cfg.query,
+                                  cfg.similarity_threshold,
+                                  salt_partitions=shuffle_n,
+                                  salt_block=cfg.salt_block)
         extracted = extracted.withColumn(
             "bucket",
             F.pmod(F.xxhash64("conv_id"), F.lit(cfg.n_buckets)).cast("int"))

@@ -48,9 +48,8 @@ def main() -> int:
     synth_transcripts(spark, 10, 6).write.mode("overwrite") \
         .parquet("/tmp/explain_transcripts")
     df = spark.read.parquet("/tmp/explain_transcripts")
-    salted = df.repartition(4, "conv_id",
-                            (F.col("turn_idx") / F.lit(256)).cast("int"))
-    extracted = extract_turns(salted, CANONICAL_QUERY)
+    extracted = extract_turns(df, CANONICAL_QUERY, salt_partitions=4,
+                              salt_block=256)
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     final = extracted.withColumn("turn_seq", F.row_number().over(w))
     plan = explain_str(final)
@@ -60,8 +59,9 @@ def main() -> int:
     n_exchanges = len(re.findall(r"\(\d+\) Exchange\b", plan))
     if n_exchanges != 2:
         failures.append(
-            f"extraction plan: expected exactly 2 shuffles "
-            f"(salt repartition + ordering window), found {n_exchanges}")
+            f"extraction plan: expected exactly 2 shuffles (salt on the "
+            f"markup branch + ordering window; prose branch must stay "
+            f"shuffle-free), found {n_exchanges}")
     read_schema = re.search(r"ReadSchema: (.*)", plan)
     if read_schema and "tool" in read_schema.group(1):
         failures.append("extraction scan reads 'tool' — pruning regressed")
