@@ -228,6 +228,75 @@ def q_dedup_minhash_lsh(spark, sf_dir):
                     F.round("jaccard_raw", 4).alias("jaccard")))
 
 
+_DUCK_NGRAM_JACCARD = f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+), shingled AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS sh
+  FROM toks WHERE len(toks) >= 3
+), dist AS (SELECT DISTINCT doc_id, sh FROM shingled),
+blocks AS (
+  SELECT doc_id, MIN(md5(sh)) AS block_key FROM dist GROUP BY doc_id
+), cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM blocks a JOIN blocks b
+    ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+), inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN dist da ON da.doc_id = c.doc_a
+  JOIN dist db ON db.doc_id = c.doc_b AND da.sh = db.sh
+  GROUP BY c.doc_a, c.doc_b
+), sizes AS (SELECT doc_id, COUNT(*) AS n FROM dist GROUP BY doc_id)
+SELECT i.doc_a, i.doc_b,
+       ROUND(CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common), 4)
+         AS jaccard
+FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+             JOIN sizes sb ON sb.doc_id = i.doc_b
+"""
+
+
+@register("dedup_ngram_jaccard", _DUCK_NGRAM_JACCARD)
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """n-gram Jaccard dedup with MIN-SHINGLE BLOCKING: documents are
+    blocked on their lexicographically-minimal hashed 3-gram shingle
+    (one block key per doc — a single-permutation MinHash), and exact
+    Jaccard is computed only within blocks.  A different candidate-
+    generation shape than the banded LSH: one shuffle on the block key,
+    candidate count bounded by block sizes."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.expr(_SPARK_TOKS).alias("toks"))
+    shingle_expr = (
+        "CASE WHEN size(toks) >= 3 THEN "
+        "transform(sequence(1, size(toks) - 2), "
+        "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), "
+        "' ', element_at(toks, i + 2))) ELSE array() END")
+    dist = (toks.select("doc_id", F.explode(F.expr(shingle_expr)).alias("sh"))
+            .distinct())
+    blocks = dist.groupBy("doc_id").agg(
+        F.min(F.md5(F.col("sh").cast("binary"))).alias("block_key"))
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    cand = (a.join(b, (F.col("a.block_key") == F.col("b.block_key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b")))
+    da = dist.select(F.col("doc_id").alias("doc_a"), "sh")
+    db = dist.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (cand.join(da, "doc_a").join(db, ["doc_b", "sh"])
+             .groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_common")))
+    sizes = dist.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (inter.join(sa, "doc_a").join(sb, "doc_b")
+            .select("doc_a", "doc_b",
+                    F.round(F.col("n_common")
+                            / (F.col("na") + F.col("nb") - F.col("n_common")),
+                            4).alias("jaccard")))
+
+
 _HEX_CASE = ("CASE {d} WHEN '0' THEN 0 WHEN '1' THEN 1 WHEN '2' THEN 2 "
              "WHEN '3' THEN 3 WHEN '4' THEN 4 WHEN '5' THEN 5 WHEN '6' THEN 6 "
              "WHEN '7' THEN 7 WHEN '8' THEN 8 WHEN '9' THEN 9 WHEN 'a' THEN 10 "

@@ -43,6 +43,18 @@ CASES = [
     ("property.html", "Get the property name, price, and address"),
     ("property.html", "Get the property title and price"),
     ("application-ldjson.json", "Get the property name, price, and address"),
+    # broadened surface: image/link ladders, availability, ratings,
+    # single-attr queries, table-vs-general dispatch
+    ("books.html", "Get the book image and price"),
+    ("clubs.html", "Extract club link and image"),
+    ("two-clubs.html", "Extract club name and link"),
+    ("single-book.html", "Get the book availability and price"),
+    ("ecommerce.html", "Get the product description"),
+    ("products.html", "List product name and description"),
+    ("two-jobs.html", "Get the job description and title"),
+    ("tables.html", "Get the person name and age"),
+    ("tables-without-thead.html", "Get the person name and age"),
+    ("book-simple.html", "Get the book title, price and image"),
 ]
 
 
