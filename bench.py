@@ -118,8 +118,9 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
 
     # analytics operators at scale (skipped in scaling-only mode)
     analytics_names = [] if os.environ.get("SPARK_GRAFT_SCALING_ONLY") else [
-        "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-        "ann_cosine_topk", "group_winner_rank", "turn_order_window",
+        "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+        "dedup_simhash", "ann_cosine_topk", "ann_lsh_top1",
+        "sessionize", "group_winner_rank", "turn_order_window",
         "quality_score", "token_count"]
     for name in analytics_names:
         fn, _ = _REGISTRY[name]
