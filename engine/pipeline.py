@@ -74,12 +74,50 @@ def _read_input(spark: SparkSession, cfg: JobConfig) -> DataFrame:
     return spark.read.parquet(cfg.input_path)
 
 
-def _completed_buckets(spark: SparkSession, cfg: JobConfig) -> set:
+def _input_fingerprint(spark: SparkSession, path: str) -> str:
+    """Content fingerprint of a parquet input: hash of the sorted
+    (path, size, mtime) listing — the parquet stand-in for an Iceberg
+    snapshot id, pinned into every lineage row so a resume against a
+    changed input is detectable."""
+    import hashlib
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    entries = []
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        f = it.next()
+        name = f.getPath().toString()
+        if name.endswith(("_SUCCESS", ".crc")):
+            continue
+        entries.append(f"{name}:{f.getLen()}:{f.getModificationTime()}")
+    digest = hashlib.md5("\n".join(sorted(entries)).encode()).hexdigest()
+    return f"listing:{digest[:16]}"
+
+
+class SnapshotMismatch(RuntimeError):
+    """Resume attempted against an input that changed since the first
+    run (different snapshot fingerprint in lineage)."""
+
+
+def _completed_buckets(spark: SparkSession, cfg: JobConfig,
+                       input_snapshot: str) -> set:
     try:
         lineage = spark.read.schema(LINEAGE_SCHEMA).parquet(cfg.lineage_path)
     except Exception:
         return set()
-    return {r.bucket for r in lineage.select("bucket").distinct().collect()}
+    rows = lineage.select("bucket", "input_snapshot").distinct().collect()
+    stale = {r.input_snapshot for r in rows} - {input_snapshot}
+    if stale:
+        raise SnapshotMismatch(
+            f"lineage at {cfg.lineage_path} was written for input "
+            f"snapshot(s) {sorted(stale)} but the input now fingerprints "
+            f"as {input_snapshot}; refusing to mix snapshots (restart "
+            f"against a fresh lineage/output path, or on Iceberg pin the "
+            f"original snapshot-id so the input content is truly stable)")
+    return {r.bucket for r in rows}
 
 
 def _write_output(df: DataFrame, cfg: JobConfig) -> None:
@@ -107,7 +145,14 @@ def run_extraction_job(spark: SparkSession, cfg: JobConfig) -> dict:
     df = df.withColumn("bucket",
                        F.pmod(F.xxhash64("conv_id"), F.lit(cfg.n_buckets)).cast("int"))
 
-    done = _completed_buckets(spark, cfg)
+    if cfg.input_snapshot:
+        input_snapshot = cfg.input_snapshot
+    elif cfg.io_format == "parquet":
+        input_snapshot = _input_fingerprint(spark, cfg.input_path)
+    else:
+        input_snapshot = cfg.input_path
+
+    done = _completed_buckets(spark, cfg, input_snapshot)
     pending = [b for b in range(cfg.n_buckets) if b not in done]
     if not pending:
         return {"run_id": cfg.run_id, "buckets_processed": 0, "resumed": True}
@@ -118,7 +163,6 @@ def run_extraction_job(spark: SparkSession, cfg: JobConfig) -> dict:
 
     shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     buckets_processed = 0
-    input_snapshot = cfg.input_snapshot or cfg.input_path
 
     for gi, group in enumerate(groups):
         t0 = time.time()

@@ -5,7 +5,8 @@ import pytest
 
 from pyspark.sql import functions as F
 
-from engine.pipeline import JobConfig, SimulatedFailure, run_extraction_job
+from engine.pipeline import (JobConfig, SimulatedFailure, SnapshotMismatch,
+                             run_extraction_job)
 from engine.synth import CANONICAL_QUERY, synth_transcripts
 
 
@@ -106,6 +107,37 @@ def test_crash_between_write_and_lineage_no_duplicates(spark, tmp_path):
     a = _results_sorted(spark, cfg.output_path).collect()
     b = _results_sorted(spark, ref_cfg.output_path).collect()
     assert a == b  # no duplicates, no gaps
+
+
+def test_resume_against_changed_input_refused(spark, tmp_path):
+    """A resume must not silently mix input snapshots: modifying the
+    input between runs trips the lineage fingerprint check."""
+    inp = _mk_input(spark, tmp_path, n_conversations=8, turns_per_conv=6)
+    cfg = JobConfig(input_path=inp, output_path=str(tmp_path / "out"),
+                    lineage_path=str(tmp_path / "lineage"),
+                    query=CANONICAL_QUERY, n_buckets=4,
+                    buckets_per_commit=2, fail_after_groups=1)
+    with pytest.raises(SimulatedFailure):
+        run_extraction_job(spark, cfg)
+
+    # input grows between the crash and the resume
+    synth_transcripts(spark, n_conversations=3, turns_per_conv=6,
+                      shuffled=False).write.mode("append").parquet(inp)
+
+    cfg2 = JobConfig(input_path=inp, output_path=cfg.output_path,
+                     lineage_path=cfg.lineage_path,
+                     query=CANONICAL_QUERY, n_buckets=4, buckets_per_commit=2)
+    with pytest.raises(SnapshotMismatch):
+        run_extraction_job(spark, cfg2)
+
+    # explicit override still allowed (operator takes responsibility)
+    cfg3 = JobConfig(input_path=inp, output_path=cfg.output_path,
+                     lineage_path=cfg.lineage_path,
+                     query=CANONICAL_QUERY, n_buckets=4,
+                     buckets_per_commit=2, input_snapshot="forced")
+    with pytest.raises(SnapshotMismatch):
+        # still refuses: lineage holds the ORIGINAL fingerprint
+        run_extraction_job(spark, cfg3)
 
 
 def test_skew_salting_bounds_task_input(spark, tmp_path):
