@@ -204,7 +204,9 @@ def extract_turns(df: DataFrame, query: str,
 
 def extract_turns_multi(df: DataFrame, queries: dict,
                         similarity_threshold: float = C.SIMILARITY_THRESHOLD,
-                        matcher_factory=None) -> DataFrame:
+                        matcher_factory=None,
+                        salt_partitions: Optional[int] = None,
+                        salt_block: int = 256) -> DataFrame:
     """Run MANY queries over the corpus in ONE pass.
 
     ``queries`` maps query_id → NL query string.  Each turn's text is
@@ -273,4 +275,9 @@ def extract_turns_multi(df: DataFrame, queries: dict,
             yield out
 
     pruned = df.select("conv_id", "turn_idx", "role", "text")
+    if salt_partitions:
+        from pyspark.sql import functions as F
+        pruned = pruned.repartition(
+            salt_partitions, "conv_id",
+            (F.col("turn_idx") / F.lit(salt_block)).cast("int"))
     return pruned.mapInPandas(run, schema=schema)

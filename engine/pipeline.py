@@ -41,7 +41,7 @@ from typing import List, Optional
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from engine.extract import extract_turns
+from engine.extract import extract_turns, extract_turns_multi
 from engine.schema import LINEAGE_SCHEMA
 
 
@@ -51,6 +51,9 @@ class JobConfig:
     output_path: str
     lineage_path: str
     query: str
+    # optional: run MANY queries in one pass (query_id -> NL query);
+    # when set, `query` is ignored and output carries a query_id column
+    queries: Optional[dict] = None
     io_format: str = "parquet"          # parquet | iceberg
     n_buckets: int = 64
     buckets_per_commit: int = 0         # 0 → all pending buckets in one commit
@@ -168,19 +171,27 @@ def run_extraction_job(spark: SparkSession, cfg: JobConfig) -> dict:
         t0 = time.time()
         part = df.filter(F.col("bucket").isin(group))
 
-        # skew salting happens INSIDE extract_turns, after its
+        # skew salting happens INSIDE the operator, after the
         # prose/markup split: only the CPU-heavy markup rows shuffle;
         # prose rows flow scan -> output with no shuffle
-        extracted = extract_turns(part.drop("bucket"), cfg.query,
-                                  cfg.similarity_threshold,
-                                  salt_partitions=shuffle_n,
-                                  salt_block=cfg.salt_block)
+        if cfg.queries:
+            extracted = extract_turns_multi(part.drop("bucket"), cfg.queries,
+                                            cfg.similarity_threshold,
+                                            salt_partitions=shuffle_n,
+                                            salt_block=cfg.salt_block)
+        else:
+            extracted = extract_turns(part.drop("bucket"), cfg.query,
+                                      cfg.similarity_threshold,
+                                      salt_partitions=shuffle_n,
+                                      salt_block=cfg.salt_block)
         extracted = extracted.withColumn(
             "bucket",
             F.pmod(F.xxhash64("conv_id"), F.lit(cfg.n_buckets)).cast("int"))
 
-        # restore stable per-conversation turn order (north rule)
-        order = Window.partitionBy("conv_id").orderBy("turn_idx")
+        # restore stable per-conversation turn order (north rule);
+        # in multi-query mode each query's stream orders independently
+        order_keys = ["conv_id", "query_id"] if cfg.queries else ["conv_id"]
+        order = Window.partitionBy(*order_keys).orderBy("turn_idx")
         extracted = extracted.withColumn("turn_seq", F.row_number().over(order))
 
         _write_output(extracted, cfg)

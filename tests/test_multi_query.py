@@ -29,6 +29,25 @@ def test_multi_equals_singles(spark):
         assert got == want, qid
 
 
+def test_multi_query_pipeline_job(spark, tmp_path):
+    from engine.pipeline import JobConfig, run_extraction_job
+
+    inp = str(tmp_path / "in")
+    synth_transcripts(spark, n_conversations=8, turns_per_conv=6) \
+        .write.parquet(inp)
+    cfg = JobConfig(input_path=inp, output_path=str(tmp_path / "out"),
+                    lineage_path=str(tmp_path / "lin"),
+                    query="", queries={"a": CANONICAL_QUERY,
+                                       "b": QUERIES["q_title"]},
+                    n_buckets=4)
+    run_extraction_job(spark, cfg)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() == 48 * 2
+    assert out.select("query_id").distinct().count() == 2
+    # turn order restored per (conv, query)
+    assert out.filter(F.col("turn_seq") != F.col("turn_idx") + 1).count() == 0
+
+
 def test_multi_query_id_column_first(spark):
     df = synth_transcripts(spark, n_conversations=3, turns_per_conv=3)
     multi = extract_turns_multi(df, {"a": CANONICAL_QUERY})
