@@ -563,9 +563,12 @@ def q_ann_lsh_top1(spark, sf_dir):
             .withColumn("bit", F.expr(f"CASE WHEN ({dot}) > 0 THEN 1 ELSE 0 END")))
     bands = (bits.groupBy("vec_id", (F.col("p") / 4).cast("int").alias("band_id"))
              .agg(F.sum(F.expr("shiftleft(bit, p % 4)")).alias("band_key")))
+    # the per-band key table and the embedding side tables are tiny
+    # relative to the candidate-pair stream — broadcast them so the
+    # pair generation and the cosine verify stay shuffle-free
     a = bands.alias("a")
     b = bands.alias("b")
-    cand = (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+    cand = (a.join(F.broadcast(b), (F.col("a.band_id") == F.col("b.band_id"))
                    & (F.col("a.band_key") == F.col("b.band_key"))
                    & (F.col("a.vec_id") != F.col("b.vec_id")))
             .select(F.col("a.vec_id").alias("va"),
@@ -575,7 +578,7 @@ def q_ann_lsh_top1(spark, sf_dir):
     dotab = "aggregate(zip_with(e_a, e_b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
     na = "sqrt(aggregate(transform(e_a, x -> x * x), 0D, (acc, v) -> acc + v))"
     nb = "sqrt(aggregate(transform(e_b, x -> x * x), 0D, (acc, v) -> acc + v))"
-    scored = (cand.join(ea, "va").join(eb, "vb")
+    scored = (cand.join(F.broadcast(ea), "va").join(F.broadcast(eb), "vb")
               .select("va", "vb",
                       F.expr(f"({dotab}) / (({na}) * ({nb}))").alias("cos_raw")))
     w = Window.partitionBy("va").orderBy(F.round("cos_raw", 6).desc(), F.col("vb"))
