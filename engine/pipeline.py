@@ -107,6 +107,10 @@ class SnapshotMismatch(RuntimeError):
 
 def _completed_buckets(spark: SparkSession, cfg: JobConfig,
                        input_snapshot: str) -> set:
+    # cheap existence probe for local paths avoids a noisy (benign)
+    # FileNotFoundException WARN on every first run
+    if "://" not in cfg.lineage_path and not os.path.exists(cfg.lineage_path):
+        return set()
     try:
         lineage = spark.read.schema(LINEAGE_SCHEMA).parquet(cfg.lineage_path)
     except Exception:

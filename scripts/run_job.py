@@ -22,7 +22,10 @@ def main() -> int:
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
     p.add_argument("--lineage", required=True)
-    p.add_argument("--query", required=True)
+    p.add_argument("--query", default="")
+    p.add_argument("--queries-json", default=None,
+                   help='JSON object {"query_id": "NL query", ...} — '
+                        'runs all queries in one pass')
     p.add_argument("--io-format", default="parquet", choices=["parquet", "iceberg"])
     p.add_argument("--n-buckets", type=int, default=64)
     p.add_argument("--buckets-per-commit", type=int, default=0)
@@ -36,9 +39,12 @@ def main() -> int:
     from engine.pipeline import JobConfig, run_extraction_job
 
     spark = SparkSession.builder.appName("extraction-job").getOrCreate()
+    queries = json.loads(args.queries_json) if args.queries_json else None
+    if not args.query and not queries:
+        p.error("one of --query / --queries-json is required")
     cfg = JobConfig(
         input_path=args.input, output_path=args.output,
-        lineage_path=args.lineage, query=args.query,
+        lineage_path=args.lineage, query=args.query, queries=queries,
         io_format=args.io_format, n_buckets=args.n_buckets,
         buckets_per_commit=args.buckets_per_commit,
         salt_block=args.salt_block,

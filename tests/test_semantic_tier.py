@@ -151,6 +151,35 @@ def test_g9a_empty_value_penalty_with_matcher():
     assert results == [] or results[0].get("title") in (None, "x", "a b")
 
 
+def test_g5_winner_quirk_fewer_attrs_can_win_on_stale_count():
+    """Ref general_parser.py:164-178: when a group wins on the
+    confidence branch, ``highest_count`` is NOT updated; a later group
+    with EQUAL confidence but fewer found attrs then beats it because
+    its count exceeds the stale zero.  Only observable with fractional
+    scores (similarity tier), carried verbatim."""
+    html = (
+        # group X: 3 containers; 'alpha' exact (1.0), 'beta' via the
+        # G8 fallback-text quirk at score 0.0 → conf 0.5, count 2,
+        # NOT all-high-confidence (no early break)
+        '<div class="xx"><p class="alpha">x1</p></div>'
+        '<div class="xx"><p class="alpha">x2</p></div>'
+        '<div class="xx"><p class="alpha">x3</p></div>'
+        # group Y: 2 containers, 'beta' exact (1.0), 'alpha' missing
+        # (no text-tag fallback) → conf 0.5, count 1
+        '<div class="yy"><div class="beta">b1</div></div>'
+        '<div class="yy"><div class="beta">b2</div></div>')
+    root = parse_html(html)
+    m = FixedMatcher({})
+    results = general.parse_general(root, "item", ["alpha", "beta"], 0.6, m)
+    # group X (larger, evaluated first) wins the confidence branch with
+    # conf 0.5/count 2; group Y ties on confidence and its count (1)
+    # beats the never-updated highest_count (0) → Y's records win even
+    # though it found FEWER attributes
+    assert len(results) == 2
+    assert results[0] == {"alpha": None, "beta": "b1"}
+    assert results[1] == {"beta": "b2"}
+
+
 # --- J5 --------------------------------------------------------------------
 
 def test_j5_semantic_fills_missing_attrs_by_position():
