@@ -59,6 +59,10 @@ class JobConfig:
     buckets_per_commit: int = 0         # 0 → all pending buckets in one commit
     salt_block: int = 256
     similarity_threshold: float = 0.6
+    # optional role predicate (e.g. ["assistant", "tool"]) — pushed down
+    # to the scan (PushedFilters: In(role, ...)), pruning user/prose
+    # turns before any compute
+    roles: Optional[List[str]] = None
     input_snapshot: Optional[str] = None
     run_id: str = field(default_factory=lambda: uuid.uuid4().hex[:12])
     # test hooks: simulated crashes
@@ -149,6 +153,8 @@ def run_extraction_job(spark: SparkSession, cfg: JobConfig) -> dict:
     """Execute (or resume) the extraction job.  Returns job metrics."""
     df = _read_input(spark, cfg)
     df = df.select("conv_id", "turn_idx", "role", "text")
+    if cfg.roles:
+        df = df.filter(F.col("role").isin(cfg.roles))
     df = df.withColumn("bucket",
                        F.pmod(F.xxhash64("conv_id"), F.lit(cfg.n_buckets)).cast("int"))
 

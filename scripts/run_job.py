@@ -32,6 +32,8 @@ def main() -> int:
     p.add_argument("--salt-block", type=int, default=256)
     p.add_argument("--similarity-threshold", type=float, default=0.6)
     p.add_argument("--input-snapshot", default=None)
+    p.add_argument("--roles", default=None,
+                   help="comma-separated role filter, pushed to the scan")
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -49,6 +51,7 @@ def main() -> int:
         buckets_per_commit=args.buckets_per_commit,
         salt_block=args.salt_block,
         similarity_threshold=args.similarity_threshold,
+        roles=args.roles.split(",") if args.roles else None,
         input_snapshot=args.input_snapshot,
     )
     metrics = run_extraction_job(spark, cfg)

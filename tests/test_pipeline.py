@@ -109,6 +109,28 @@ def test_crash_between_write_and_lineage_no_duplicates(spark, tmp_path):
     assert a == b  # no duplicates, no gaps
 
 
+def test_role_filter_pushed_to_scan(spark, tmp_path):
+    """The role predicate must reach the parquet scan as a pushed
+    filter and prune rows before any compute."""
+    inp = _mk_input(spark, tmp_path, n_conversations=9, turns_per_conv=6)
+    cfg = JobConfig(input_path=inp, output_path=str(tmp_path / "out"),
+                    lineage_path=str(tmp_path / "lineage"),
+                    query=CANONICAL_QUERY, n_buckets=4,
+                    roles=["assistant", "tool"])
+    run_extraction_job(spark, cfg)
+    out = spark.read.parquet(cfg.output_path)
+    assert out.count() == 36  # user turns (1/3) pruned
+    assert out.filter(F.col("role") == "user").count() == 0
+
+    # plan evidence: pushed filter on the scan
+    df = spark.read.parquet(inp).select("conv_id", "role", "text") \
+        .filter(F.col("role").isin(["assistant", "tool"]))
+    jvm = spark._jvm
+    plan = jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(),
+                                            "formatted")
+    assert "PushedFilters: [In(role" in plan
+
+
 def test_resume_against_changed_input_refused(spark, tmp_path):
     """A resume must not silently mix input snapshots: modifying the
     input between runs trips the lineage fingerprint check."""
