@@ -245,8 +245,9 @@ class _TreeBuilder(HTMLParser):
     def _make_node(self, tag: str, attrs) -> Node:
         attr_dict: dict = {}
         for key, value in attrs:
-            if key in attr_dict:  # first occurrence wins (bs4 behaviour)
-                continue
+            # duplicate attributes: LAST occurrence wins — bs4's
+            # html.parser builder default (on_duplicate_attribute=
+            # 'replace') in the version the reference pins
             if value is None:
                 value = ""
             if key in _MULTI_VALUED:

@@ -167,7 +167,9 @@ def parse(html: str, query: str, full_ml: bool = False,
 
     processing_ms = round((time.time() - start) * 1000)
 
-    if extraction.status == "bad_query":
+    if extraction.status in ("bad_query", "parse_error"):
+        # ref intelligent_parser.py:218-230 — both query failures and
+        # ladder exceptions surface as the error envelope
         return {
             "results": {},
             "message": extraction.message,

@@ -104,6 +104,18 @@ def _input_fingerprint(spark: SparkSession, path: str) -> str:
     return f"listing:{digest[:16]}"
 
 
+def _config_fingerprint(cfg: JobConfig) -> str:
+    import hashlib
+    import json as _json
+
+    payload = _json.dumps({
+        "query": cfg.query, "queries": cfg.queries, "roles": cfg.roles,
+        "n_buckets": cfg.n_buckets,
+        "similarity_threshold": cfg.similarity_threshold,
+    }, sort_keys=True)
+    return hashlib.md5(payload.encode()).hexdigest()[:8]
+
+
 class SnapshotMismatch(RuntimeError):
     """Resume attempted against an input that changed since the first
     run (different snapshot fingerprint in lineage)."""
@@ -159,11 +171,15 @@ def run_extraction_job(spark: SparkSession, cfg: JobConfig) -> dict:
                        F.pmod(F.xxhash64("conv_id"), F.lit(cfg.n_buckets)).cast("int"))
 
     if cfg.input_snapshot:
-        input_snapshot = cfg.input_snapshot
+        input_base = cfg.input_snapshot
     elif cfg.io_format == "parquet":
-        input_snapshot = _input_fingerprint(spark, cfg.input_path)
+        input_base = _input_fingerprint(spark, cfg.input_path)
     else:
-        input_snapshot = cfg.input_path
+        input_base = cfg.input_path
+    # the resume identity covers the JOB CONFIG too: resuming half-done
+    # output with a different query / bucket count would silently mix
+    # incompatible results, so those knobs are folded into the snapshot
+    input_snapshot = f"{input_base}|cfg:{_config_fingerprint(cfg)}"
 
     done = _completed_buckets(spark, cfg, input_snapshot)
     pending = [b for b in range(cfg.n_buckets) if b not in done]
@@ -190,10 +206,15 @@ def run_extraction_job(spark: SparkSession, cfg: JobConfig) -> dict:
                                             salt_partitions=shuffle_n,
                                             salt_block=cfg.salt_block)
         else:
+            # jvm_prose_fast_path=False: the two-branch JVM split would
+            # rescan the input once per branch (and per commit group);
+            # inside the pipeline the in-kernel prose skip keeps ONE
+            # scan per group at the cost of Arrow-transferring prose
             extracted = extract_turns(part.drop("bucket"), cfg.query,
                                       cfg.similarity_threshold,
                                       salt_partitions=shuffle_n,
-                                      salt_block=cfg.salt_block)
+                                      salt_block=cfg.salt_block,
+                                      jvm_prose_fast_path=False)
         extracted = extracted.withColumn(
             "bucket",
             F.pmod(F.xxhash64("conv_id"), F.lit(cfg.n_buckets)).cast("int"))
@@ -212,14 +233,30 @@ def run_extraction_job(spark: SparkSession, cfg: JobConfig) -> dict:
                 f"commit, group {gi + 1}")
 
         # lineage from the written output: column-pruned scan
-        written = spark.read.parquet(cfg.output_path) \
-            .filter(F.col("bucket").isin(group))
-        stats = written.groupBy("bucket").agg(
-            F.count("*").alias("rows_in"),
-            F.sum("n_results").alias("rows_out"),
-            F.sum(F.when(F.col("status") == "parse_error", 1).otherwise(0))
-             .alias("parse_failures"),
-        ).collect()
+        if cfg.io_format == "iceberg":
+            written = spark.read.table(cfg.output_path)
+        else:
+            written = spark.read.parquet(cfg.output_path)
+        written = written.filter(F.col("bucket").isin(group))
+        if cfg.queries:
+            # multi-query mode emits one row per (turn, query); lineage
+            # keeps rows_in at input-TURN granularity so sum(rows_in)
+            # still reconciles against the input table
+            stats = written.groupBy("bucket").agg(
+                F.countDistinct("conv_id", "turn_idx").alias("rows_in"),
+                F.sum("n_results").alias("rows_out"),
+                F.countDistinct(F.when(F.col("status") == "parse_error",
+                                       F.concat_ws("\u0001", "conv_id",
+                                                   "turn_idx")))
+                 .alias("parse_failures"),
+            ).collect()
+        else:
+            stats = written.groupBy("bucket").agg(
+                F.count("*").alias("rows_in"),
+                F.sum("n_results").alias("rows_out"),
+                F.sum(F.when(F.col("status") == "parse_error", 1).otherwise(0))
+                 .alias("parse_failures"),
+            ).collect()
         wall_ms = int((time.time() - t0) * 1000)
         stat_by_bucket = {r.bucket: r for r in stats}
         lineage_rows = []

@@ -79,9 +79,10 @@ def test_comments_excluded():
     assert root.find("p").get_text() == "ab"
 
 
-def test_duplicate_attr_first_wins():
+def test_duplicate_attr_last_wins():
+    # bs4 html.parser builder default: on_duplicate_attribute='replace'
     root = parse_html('<div id="one" id="two"></div>')
-    assert root.find("div")["id"] == "one"
+    assert root.find("div")["id"] == "two"
 
 
 def test_malformed_html_does_not_raise():
