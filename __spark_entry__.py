@@ -20,37 +20,27 @@ import engine.analytics as _analytics  # noqa: F401  (registers queries)
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: synthesize transcripts from the sf0.001 documents table
-    (deterministic HTML per doc, covering all three strategies), run the
-    Arrow-batched extraction kernel, restore turn order, and return the
-    per-turn results."""
+    (deterministic HTML per doc, covering all three strategies plus
+    prose), run the Arrow-batched extraction kernel, restore turn
+    order, and return the per-turn results."""
     from pyspark.sql import Window
 
     from engine.extract import extract_turns
+    from engine.synth import html_family_exprs
 
     sf_dir = "/root/testdata/sf0.001"
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
 
-    item = ("concat('<div class=\"item\"><p class=\"name\">Doc ', doc_id, "
-            "'-', i, '</p><p class=\"price\">£', "
-            "1000 + (doc_id * 3 + i) % 9000, '</p></div>')")
-    row = ("concat('<tr><td>Doc ', doc_id, '-', i, '</td><td>£', "
-           "1000 + (doc_id * 3 + i) % 9000, '</td></tr>')")
-    jitem = ("concat('{\"name\": \"Doc ', doc_id, '-', i, "
-             "'\", \"price\": \"£', 1000 + (doc_id * 3 + i) % 9000, '\"}')")
+    fams = html_family_exprs(
+        "concat('Doc ', doc_id, '-', i)",
+        "1000 + (doc_id * 3 + i) % 9000", n_items=3)
     html = F.expr(f"""
       CASE doc_id % 4
-        WHEN 0 THEN concat('<html><body><div class="grid">',
-          concat_ws('', transform(sequence(0, 2), i -> {item})),
-          '</div></body></html>')
-        WHEN 1 THEN concat(
-          '<html><body><table><thead><tr><th>name</th><th>price</th></tr></thead><tbody>',
-          concat_ws('', transform(sequence(0, 2), i -> {row})),
-          '</tbody></table></body></html>')
-        WHEN 2 THEN concat('<html><head><script type="application/ld+json">',
-          '{{"book": [', concat_ws(', ', transform(sequence(0, 2), i -> {jitem})),
-          ']}}</script></head><body><p>x</p></body></html>')
+        WHEN 0 THEN {fams['general']}
+        WHEN 1 THEN {fams['table']}
+        WHEN 2 THEN {fams['json']}
         ELSE text
-      END""".replace("{{", "{").replace("}}", "}"))
+      END""")
 
     transcripts = docs.select(
         F.concat(F.lit("conv_"), (F.col("doc_id") % 50).cast("string")).alias("conv_id"),

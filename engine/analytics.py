@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from engine.extract import extract_turns
 from engine.queries import _t, register
+from engine.synth import html_family_exprs
 
 # ---------------------------------------------------------------------------
 # group 2 — the real extraction kernel, verified through the driver:
@@ -47,10 +48,9 @@ FROM documents
 def q_extract_table_family(spark, sf_dir):
     """T1-T6 end-to-end: build a <table> per document, run the kernel,
     expect header-matched rows back."""
-    html = F.expr(
-        "concat('<html><body><table><thead><tr><th>name</th><th>price</th>"
-        "</tr></thead><tbody><tr><td>Doc ', doc_id, '</td><td>£', "
-        "1000 + doc_id % 9000, '</td></tr></tbody></table></body></html>')")
+    html = F.expr(html_family_exprs(
+        "concat('Doc ', doc_id)", "1000 + doc_id % 9000",
+        n_items=1)["table"])
     docs = _t(spark, sf_dir, "documents").select("doc_id", html.alias("html"))
     return _exploded(extract_turns(_as_turns(docs), _QUERY))
 
@@ -65,13 +65,9 @@ def q_extract_general_family(spark, sf_dir):
     """G2/G5/G6/G7 end-to-end: repeated div.item cards per document;
     exact-match extraction on the first card, path-chain replay on the
     remaining cards."""
-    item = ("concat('<div class=\"item\"><p class=\"name\">Doc ', doc_id, "
-            "'-', i, '</p><p class=\"price\">£', "
-            "1000 + (doc_id * 3 + i) % 9000, '</p></div>')")
-    html = F.expr(
-        f"concat('<html><body><div class=\"grid\">', "
-        f"concat_ws('', transform(sequence(0, 2), i -> {item})), "
-        f"'</div></body></html>')")
+    html = F.expr(html_family_exprs(
+        "concat('Doc ', doc_id, '-', i)",
+        "1000 + (doc_id * 3 + i) % 9000")["general"])
     docs = _t(spark, sf_dir, "documents").select("doc_id", html.alias("html"))
     return _exploded(extract_turns(_as_turns(docs), _QUERY))
 
@@ -85,13 +81,9 @@ FROM documents, (SELECT unnest([0, 1, 2]) AS i)
 def q_extract_json_family(spark, sf_dir):
     """J1-J8 end-to-end: an application/ld+json book array per document;
     regex patterns extract the indexed instances."""
-    item = ("concat('{\"name\": \"Doc ', doc_id, '-', i, "
-            "'\", \"price\": \"£', 1000 + (doc_id * 3 + i) % 9000, '\"}')")
-    html = F.expr(
-        "concat('<html><head><script type=\"application/ld+json\">"
-        '{"book": [\', '
-        f"concat_ws(', ', transform(sequence(0, 2), i -> {item})), "
-        "']}</script></head><body><p>x</p></body></html>')")
+    html = F.expr(html_family_exprs(
+        "concat('Doc ', doc_id, '-', i)",
+        "1000 + (doc_id * 3 + i) % 9000")["json"])
     docs = _t(spark, sf_dir, "documents").select("doc_id", html.alias("html"))
     return _exploded(extract_turns(_as_turns(docs), _QUERY))
 

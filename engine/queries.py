@@ -210,7 +210,9 @@ def q_topk_limit(spark, sf_dir):
 
 
 @register("fuzzy_theta_join", """
-WITH attrs AS (SELECT DISTINCT lower(split_part(p_name, ' ', 2)) AS attr FROM part),
+WITH attrs AS (SELECT DISTINCT lower(split_part(p_name, ' ', 2)) AS attr
+               FROM part
+               WHERE length(split_part(p_name, ' ', 2)) > 0),
 headers AS (SELECT DISTINCT lower(p_name) AS header FROM part)
 SELECT attr, header, score FROM (
   SELECT a.attr, h.header,
@@ -232,8 +234,12 @@ def q_fuzzy_theta_join(spark, sf_dir):
     ≥ threshold gate (ref table_parser.py:135-173).  The small side is
     broadcast (as header lists are in the kernel)."""
     part = _t(spark, sf_dir, "part")
-    attrs = (part.select(F.lower(F.element_at(F.split("p_name", " "), 2))
-                         .alias("attr")).distinct())
+    # guard single-token names: Spark element_at yields NULL where
+    # DuckDB split_part yields '' (and '' substring-matches everything)
+    attrs = (part.select(F.lower(F.expr("try_element_at(split(p_name, ' '), 2)"))
+                         .alias("attr"))
+             .filter(F.col("attr").isNotNull() & (F.length("attr") > 0))
+             .distinct())
     headers = part.select(F.lower("p_name").alias("header")).distinct()
     joined = attrs.crossJoin(F.broadcast(headers))
     score = (F.when(F.col("attr") == F.col("header"), 1.0)

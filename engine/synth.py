@@ -29,6 +29,42 @@ from pyspark.sql import functions as F
 
 CANONICAL_QUERY = "Can you give me the book: name and price?"
 
+
+def html_family_exprs(name_expr: str, price_expr: str, n_items: int = 3,
+                      extra_expr: str = "''") -> dict:
+    """Spark-SQL expression strings for the three markup families, all
+    derived from ONE template so every generator (synth, bench, entry,
+    analytics extract_* checks) stays in lockstep with the value
+    formulas its oracle reconstructs.
+
+    ``name_expr``/``price_expr`` are SQL snippets that may reference
+    the lambda variable ``i`` (item index 0..n_items-1);
+    ``extra_expr`` is appended inside <body> (e.g. prose filler).
+    """
+    item = (f"concat('<div class=\"item\"><p class=\"name\">', {name_expr}, "
+            f"'</p><p class=\"price\">£', {price_expr}, '</p></div>')")
+    row = (f"concat('<tr><td>', {name_expr}, '</td><td>£', {price_expr}, "
+           f"'</td></tr>')")
+    jitem = (f"concat('{{\"name\": \"', {name_expr}, "
+             f"'\", \"price\": \"£', {price_expr}, '\"}}')")
+    seq = f"sequence(0, {n_items - 1})"
+    return {
+        "general": (
+            f"concat('<html><body><div class=\"grid\">', "
+            f"concat_ws('', transform({seq}, i -> {item})), "
+            f"'</div><p>', {extra_expr}, '</p></body></html>')"),
+        "table": (
+            f"concat('<html><body><table><thead><tr><th>name</th>"
+            f"<th>price</th></tr></thead><tbody>', "
+            f"concat_ws('', transform({seq}, i -> {row})), "
+            f"'</tbody></table><p>', {extra_expr}, '</p></body></html>')"),
+        "json": (
+            f"concat('<html><head><script type=\"application/ld+json\">', "
+            f"'{{\"book\": [', concat_ws(', ', transform({seq}, i -> {jitem})), "
+            f"']}}</script></head><body><p>', "
+            f"coalesce(nullif({extra_expr}, ''), 'x'), '</p></body></html>')"),
+    }
+
 _ITEM_GENERAL = (
     "concat('<div class=\"item\"><p class=\"name\">Book ', cn, '-', turn_idx, "
     "'-', i, '</p><p class=\"price\">£', 1000 + (cn * 7 + turn_idx * 3 + i) % 9000, "
@@ -63,7 +99,7 @@ CASE
   ELSE concat('plain prose turn with no markup, conversation ', cn,
               ' turn ', turn_idx, '.')
 END
-""".replace("{{", "{").replace("}}", "}")
+"""
 
 
 def synth_transcripts(spark: SparkSession,

@@ -62,9 +62,9 @@ def main() -> int:
             f"extraction plan: expected exactly 2 shuffles (salt on the "
             f"markup branch + ordering window; prose branch must stay "
             f"shuffle-free), found {n_exchanges}")
-    read_schema = re.search(r"ReadSchema: (.*)", plan)
-    if read_schema and "tool" in read_schema.group(1):
-        failures.append("extraction scan reads 'tool' — pruning regressed")
+    for read_schema in re.findall(r"ReadSchema: (.*)", plan):
+        if "tool" in read_schema:
+            failures.append("an extraction scan reads 'tool' — pruning regressed")
 
     # --- filter pushdown ---------------------------------------------------
     li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")

@@ -51,7 +51,8 @@ def main() -> int:
         buckets_per_commit=args.buckets_per_commit,
         salt_block=args.salt_block,
         similarity_threshold=args.similarity_threshold,
-        roles=args.roles.split(",") if args.roles else None,
+        roles=[r.strip() for r in args.roles.split(",") if r.strip()]
+        if args.roles else None,
         input_snapshot=args.input_snapshot,
     )
     metrics = run_extraction_job(spark, cfg)
