@@ -48,6 +48,40 @@ def test_multi_query_pipeline_job(spark, tmp_path):
     assert out.filter(F.col("turn_seq") != F.col("turn_idx") + 1).count() == 0
 
 
+def test_multi_query_crash_resume_equals_single_shot(spark, tmp_path):
+    from engine.pipeline import JobConfig, SimulatedFailure, run_extraction_job
+
+    import pytest
+
+    inp = str(tmp_path / "in")
+    synth_transcripts(spark, n_conversations=8, turns_per_conv=6) \
+        .write.parquet(inp)
+    qs = {"a": CANONICAL_QUERY, "b": QUERIES["q_title"]}
+
+    ref = JobConfig(input_path=inp, output_path=str(tmp_path / "ref_out"),
+                    lineage_path=str(tmp_path / "ref_lin"),
+                    query="", queries=qs, n_buckets=4)
+    run_extraction_job(spark, ref)
+
+    cfg = JobConfig(input_path=inp, output_path=str(tmp_path / "out"),
+                    lineage_path=str(tmp_path / "lin"),
+                    query="", queries=qs, n_buckets=4,
+                    buckets_per_commit=2, fail_after_groups=1)
+    with pytest.raises(SimulatedFailure):
+        run_extraction_job(spark, cfg)
+    cfg2 = JobConfig(input_path=inp, output_path=cfg.output_path,
+                     lineage_path=cfg.lineage_path,
+                     query="", queries=qs, n_buckets=4, buckets_per_commit=2)
+    run_extraction_job(spark, cfg2)
+
+    cols = ["query_id", "conv_id", "turn_idx", "n_results", "status"]
+    a = (spark.read.parquet(cfg.output_path).select(*cols)
+         .orderBy(*cols).collect())
+    b = (spark.read.parquet(ref.output_path).select(*cols)
+         .orderBy(*cols).collect())
+    assert a == b
+
+
 def test_multi_query_id_column_first(spark):
     df = synth_transcripts(spark, n_conversations=3, turns_per_conv=3)
     multi = extract_turns_multi(df, {"a": CANONICAL_QUERY})
