@@ -90,6 +90,8 @@ def extract_turns(df: DataFrame, query: str,
     bad_query = not parsed.entity or not parsed.attributes
 
     entity = parsed.entity
+    from pyspark.sql import functions as F
+
     # event-time passthrough keeps streaming aggregations (watermarks
     # over ts) downstream of the kernel without a stream-stream join
     has_ts = "ts" in df.columns
@@ -166,8 +168,6 @@ def extract_turns(df: DataFrame, query: str,
         schema = RESULTS_SCHEMA
         pruned = df.select("conv_id", "turn_idx", "role", "text")
 
-    from pyspark.sql import functions as F
-
     def _salt(d: DataFrame) -> DataFrame:
         if salt_partitions:
             return d.repartition(
@@ -175,7 +175,25 @@ def extract_turns(df: DataFrame, query: str,
                 (F.col("turn_idx") / F.lit(salt_block)).cast("int"))
         return d
 
-    if bad_query or not jvm_prose_fast_path:
+    if bad_query:
+        # degenerate case: every output field is a constant or a JVM
+        # expression — never ship the corpus through Python just to
+        # stamp bad_query envelopes
+        return pruned.select(
+            F.col("conv_id"), F.col("turn_idx"), F.col("role"),
+            *([F.col("ts")] if has_ts else []),
+            F.lit(entity).alias("entity"),
+            F.expr("array()").cast(schema["results"].dataType).alias("results"),
+            F.lit(0).cast("int").alias("n_results"),
+            F.lit("Could not extract entity and attributes from query")
+             .alias("message"),
+            F.lit("none").alias("strategy"),
+            F.lit("bad_query").alias("status"),
+            F.lit(None).cast("string").alias("error"),
+            F.coalesce(F.octet_length("text"), F.lit(0)).cast("long")
+             .alias("text_nbytes"))
+
+    if not jvm_prose_fast_path:
         return _salt(pruned).mapInPandas(run, schema=schema)
 
     # JVM prose fast path: turns with no markup at all never cross the

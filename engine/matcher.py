@@ -18,9 +18,10 @@ This module makes the tier pluggable:
 * :class:`EmbeddingMatcher` — the production hook: wraps any
   ``encode(list[str]) -> ndarray`` callable (e.g. a broadcast
   sentence-transformer on the executors).  Scores are cached per
-  unique string pair per batch — the reference re-encodes inside its
-  per-container recursion (``general_parser.py:702-703``), which is
-  exactly the inefficiency SURVEY.md §4.1 says not to replicate.
+  unique string pair per TASK (bounded; cleared when the cap is hit) —
+  the reference re-encodes inside its per-container recursion
+  (``general_parser.py:702-703``), which is exactly the inefficiency
+  SURVEY.md §4.1 says not to replicate.
 """
 
 from __future__ import annotations
@@ -58,6 +59,8 @@ class TokenSimilarityMatcher(Matcher):
     Jaccard, exact match = 1.0.  A model-free stand-in with the same
     range/argmax contract as cosine over embeddings."""
 
+    _MAX_CACHE = 200_000  # bound per-task memory on high-cardinality text
+
     def __init__(self):
         self._cache: dict = {}
 
@@ -68,6 +71,8 @@ class TokenSimilarityMatcher(Matcher):
         hit = self._cache.get(key)
         if hit is not None:
             return hit
+        if len(self._cache) >= self._MAX_CACHE:
+            self._cache.clear()
         al, bl = a.lower().strip(), b.lower().strip()
         if al == bl:
             score = 1.0
@@ -86,6 +91,8 @@ class EmbeddingMatcher(Matcher):
     broadcast model on executors).  Unique strings are embedded once
     per matcher instance (per Arrow batch in practice)."""
 
+    _MAX_CACHE = 50_000  # bound per-task memory on high-cardinality text
+
     def __init__(self, encode: Callable[[List[str]], "object"]):
         self._encode = encode
         self._vecs: dict = {}
@@ -93,6 +100,8 @@ class EmbeddingMatcher(Matcher):
     def _vec(self, s: str):
         v = self._vecs.get(s)
         if v is None:
+            if len(self._vecs) >= self._MAX_CACHE:
+                self._vecs.clear()
             v = self._encode([s])[0]
             self._vecs[s] = v
         return v

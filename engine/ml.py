@@ -112,16 +112,20 @@ def _node_to_html(node: Node) -> str:
 
 
 def _serialize(node: Node, parts: List[str]) -> None:
+    # re-escape like bs4 str(): text & < >, attribute quotes — the
+    # parser decoded entities, so raw re-emission would be malformed
     attrs = []
     for k, v in node.attrs.items():
         sv = " ".join(v) if isinstance(v, list) else str(v)
+        sv = sv.replace("&", "&amp;").replace('"', "&quot;")
         attrs.append(f' {k}="{sv}"')
     parts.append(f"<{node.name}{''.join(attrs)}>")
     for child in node.children:
         if isinstance(child, Node):
             _serialize(child, parts)
         else:
-            parts.append(child)
+            parts.append(child.replace("&", "&amp;")
+                         .replace("<", "&lt;").replace(">", "&gt;"))
     parts.append(f"</{node.name}>")
 
 

@@ -66,7 +66,7 @@ def decode_image(payload: bytes, deterministic_fake: bool = False) -> List[float
 
 def extract_media_features(df: DataFrame, payload_col: str = "payload",
                            id_col: str = "media_id",
-                           deterministic_fake: bool = True) -> DataFrame:
+                           deterministic_fake: bool = False) -> DataFrame:
     """Arrow-batched feature extraction over a binary media column.
 
     One output row per input row; decode failures are accounted in the
@@ -103,6 +103,18 @@ def extract_media_features(df: DataFrame, payload_col: str = "payload",
     return df.select(id_col, payload_col).mapInPandas(run, FEATURE_SCHEMA)
 
 
-def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """JVM-side metadata for opaque payloads (no Python involved)."""
-    return df.withColumn("nbytes", F.octet_length(F.col(payload_col)))
+def attach_media_metadata(df: DataFrame, payload_col: str = "payload",
+                          kind: str = "image",
+                          mime: str = "application/octet-stream") -> DataFrame:
+    """JVM-side typed metadata struct (MEDIA_META_SCHEMA fields) for
+    opaque payloads — no Python involved.  Dimensions/duration stay
+    NULL until a real decoder fills them (decode is stubbed here)."""
+    return df.withColumn("meta", F.struct(
+        F.col("media_id").cast("long").alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.lit(mime).alias("mime"),
+        F.octet_length(F.col(payload_col)).cast("long").alias("nbytes"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    ))

@@ -5,9 +5,11 @@ ones that matter identically on a 1000-executor cluster:
 
 * AQE on (runtime coalescing + skew-join splitting complements the
   explicit conv_id salting in engine/pipeline.py);
-* Arrow exchange on, with a bounded records-per-batch so a batch of
-  16 MB-HTML turns (the reference's request ceiling,
-  ``/root/reference/settings.py:20``) cannot blow Python worker memory;
+* Arrow exchange on, with a bounded records-per-batch.  NOTE: the
+  bound is rows, not bytes — for corpora where single turns approach
+  the reference's 16 MB request ceiling (settings.py:20), lower
+  SPARK_GRAFT_ARROW_BATCH and/or pre-filter with the ``oversize``
+  flag (engine/sources.py); Spark offers no per-batch byte cap here;
 * shuffle partitions sized to the parallelism at hand (the pipeline
   repartitions explicitly where it matters).
 """
@@ -23,9 +25,11 @@ from pyspark.sql import SparkSession
 def get_spark(app_name: str = "extraction-engine",
               master: Optional[str] = None,
               shuffle_partitions: Optional[int] = None,
-              arrow_batch_rows: int = int(os.environ.get(
-                  "SPARK_GRAFT_ARROW_BATCH", "1024")),
+              arrow_batch_rows: Optional[int] = None,
               extra_conf: Optional[dict] = None) -> SparkSession:
+    if arrow_batch_rows is None:
+        arrow_batch_rows = int(os.environ.get("SPARK_GRAFT_ARROW_BATCH",
+                                              "1024"))
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"

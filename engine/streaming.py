@@ -46,7 +46,9 @@ def stream_extract(spark: SparkSession, input_path: str, output_path: str,
     ``False`` runs continuously.  Returns the StreamingQuery.
     """
     stream = read_transcript_stream(spark, input_path)
-    extracted = extract_turns(stream, query)
+    # in-kernel prose skip: the two-branch JVM split would re-read each
+    # micro-batch's files once per branch
+    extracted = extract_turns(stream, query, jvm_prose_fast_path=False)
     writer = (extracted.writeStream
               .format("parquet")
               .option("path", output_path)
@@ -94,7 +96,7 @@ def stream_conversation_progress(spark: SparkSession, input_path: str,
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     stream = read_transcript_stream(spark, input_path)
-    extracted = extract_turns(stream, query)
+    extracted = extract_turns(stream, query, jvm_prose_fast_path=False)
     return (extracted
             .groupBy("conv_id")
             .applyInPandasWithState(
@@ -113,8 +115,11 @@ def stream_metrics(spark: SparkSession, input_path: str, query: str,
     watermark still lands in its window)."""
     stream = read_transcript_stream(spark, input_path)
     # ts rides through the kernel (event-time passthrough), so no
-    # stream-stream join is needed before the watermarked aggregation
-    extracted = extract_turns(stream, query)
+    # stream-stream join is needed before the watermarked aggregation.
+    # NULL event times would be silently dropped by the watermark —
+    # surface them explicitly instead of losing them.
+    extracted = extract_turns(stream, query, jvm_prose_fast_path=False)
+    extracted = extracted.filter(F.col("ts").isNotNull())
     return (extracted
             .withWatermark("ts", watermark)
             .groupBy(F.window("ts", window))

@@ -64,5 +64,6 @@ def test_serialize_roundtrip():
     html = '<div class="a b"><p id="x">t &amp; u</p></div>'
     root = parse_html(html)
     out = ml._node_to_html(root.find("div"))
-    # entities were decoded at parse time; serialization emits raw text
-    assert out == '<div class="a b"><p id="x">t & u</p></div>'
+    # entities were decoded at parse time; serialization re-escapes
+    # like bs4 str()
+    assert out == '<div class="a b"><p id="x">t &amp; u</p></div>'

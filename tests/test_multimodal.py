@@ -30,7 +30,7 @@ def test_decode_fake_is_deterministic():
 
 def test_feature_extraction_roundtrip(spark):
     df = _media_df(spark)
-    out = extract_media_features(df).collect()
+    out = extract_media_features(df, deterministic_fake=True).collect()
     assert len(out) == 20
     by_id = {r.media_id: r for r in out}
     payload = b"payload-7"
@@ -40,8 +40,19 @@ def test_feature_extraction_roundtrip(spark):
     assert len(by_id[7].features) == 16
 
 
-def test_decode_unavailable_accounted_not_raised(spark):
+def test_decode_unavailable_is_the_default(spark):
+    # real decode is stubbed, so the SAFE default is honest accounting,
+    # never silent fake features
     df = _media_df(spark, 5)
-    out = extract_media_features(df, deterministic_fake=False).collect()
+    out = extract_media_features(df).collect()
     assert all(r.status == "decode_unavailable" for r in out)
     assert all(r.features is None for r in out)
+
+
+def test_metadata_struct(spark):
+    from engine.multimodal import attach_media_metadata
+    row = attach_media_metadata(_media_df(spark, 1), kind="image",
+                                mime="image/png").collect()[0]
+    assert row.meta.kind == "image" and row.meta.mime == "image/png"
+    assert row.meta.nbytes == len(b"payload-0")
+    assert row.meta.width is None and row.meta.duration_ms is None
