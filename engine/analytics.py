@@ -498,29 +498,45 @@ def _hyperplane_signs(n_planes: int = 16, dims: int = 64):
     return signs
 
 
-_N_PLANES, _N_BANDS, _DIMS = 16, 4, 64
+# 128 hyperplanes = 8 bands × 16 bits.  16-bit band keys keep bucket
+# populations ~n/65536 per band under the random-pair regime, so the
+# candidate join never degenerates to all-pairs; the bucket cap below
+# bounds the worst case (degenerate inputs, e.g. all-zero vectors that
+# hash identically) to CAP² pairs per bucket.
+_N_PLANES, _N_BANDS, _DIMS = 128, 8, 64
+_BAND_BITS = _N_PLANES // _N_BANDS
+_BUCKET_CAP = 128
 _SIGNS = _hyperplane_signs(_N_PLANES, _DIMS)
 _SIGNS_SQL = ("[" + ", ".join(
-    "[" + ", ".join(str(v) for v in row) + "]" for row in _SIGNS) + "]")
+    "[" + ", ".join(f"{v}.0" for v in row) + "]" for row in _SIGNS) + "]")
 _SIGNS_SPARK = ("array(" + ", ".join(
-    "array(" + ", ".join(str(v) for v in row) + ")" for row in _SIGNS) + ")")
+    "array(" + ", ".join(f"{v}D" for v in row) + ")" for row in _SIGNS) + ")")
 
 _DUCK_ANN_LSH = f"""
 WITH signs AS (SELECT {_SIGNS_SQL} AS s),
+emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 bits AS (
-  SELECT e.vec_id, p.p,
-         CASE WHEN (SELECT SUM(CAST(e.embedding[d.d] AS DOUBLE)
-                               * s.s[p.p + 1][d.d])
-                    FROM range(1, {_DIMS} + 1) d(d)) > 0
-              THEN 1 ELSE 0 END AS bit
-  FROM embeddings e, range(0, {_N_PLANES}) p(p), signs s
+  SELECT vec_id,
+         list_transform(range(1, {_N_PLANES} + 1),
+           p -> CASE WHEN list_dot_product(e, s.s[p]) > 0
+                THEN 1 ELSE 0 END) AS bits
+  FROM emb, signs s
 ), bands AS (
-  SELECT vec_id, p // 4 AS band_id,
-         SUM(bit << (p % 4)) AS band_key
-  FROM bits GROUP BY vec_id, p // 4
+  SELECT vec_id, b.b AS band_id,
+         CAST(list_sum(list_transform(range(0, {_BAND_BITS}),
+           j -> bits[b.b * {_BAND_BITS} + j + 1]
+                * (1::BIGINT << ({_BAND_BITS} - 1 - j)))) AS BIGINT)
+           AS band_key
+  FROM bits, range(0, {_N_BANDS}) b(b)
+), capped AS (
+  SELECT vec_id, band_id, band_key FROM (
+    SELECT vec_id, band_id, band_key,
+           ROW_NUMBER() OVER (PARTITION BY band_id, band_key
+                              ORDER BY vec_id) AS brn
+    FROM bands) WHERE brn <= {_BUCKET_CAP}
 ), cand AS (
   SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
-  FROM bands a JOIN bands b
+  FROM capped a JOIN capped b
     ON a.band_id = b.band_id AND a.band_key = b.band_key
    AND a.vec_id <> b.vec_id
 ), scored AS (
@@ -540,27 +556,50 @@ SELECT va AS vec_id, vb AS neighbor_id, ROUND(cos_raw, 4) AS cosine FROM (
 
 @register("ann_lsh_top1", _DUCK_ANN_LSH)
 def q_ann_lsh_top1(spark, sf_dir):
-    """ANN scale path: sign-random-projection LSH (16 hyperplanes, 4
-    bands of 4 bits) buckets the vectors; each vector's top-1 neighbor
-    is searched only among band collisions — the O(n²) distance matrix
-    is never materialized.  The hyperplanes are MD5-derived literals
-    shared verbatim with the oracle."""
+    """ANN scale path: sign-random-projection LSH — 128 hyperplanes as
+    8 bands of 16 bits — buckets the vectors; each vector's top-1
+    neighbor is searched only among band collisions, so the O(n²)
+    distance matrix is never materialized.  The recall target is the
+    near-duplicate regime (cos ≥ ~0.9 collides in ≥1 band w.p. ~0.5);
+    genuinely dissimilar vectors almost never collide on a 16-bit key.
+
+    Scale shape (the round-1 version was the suite's most expensive
+    query and is what this replaces, VERDICT.md "What's wrong" 1-2):
+
+    * 16-bit band keys: bucket population ~n/65536 per band — the
+      candidate join is a real hash join on (band_id, band_key), not
+      an all-pairs join in disguise;
+    * a deterministic per-bucket cap (ROW_NUMBER ≤ {cap}) bounds
+      degenerate buckets (e.g. constant vectors) to cap² pairs;
+    * NO broadcast hints: bands and embeddings join as shuffle hash
+      joins on their keys; AQE may still pick broadcast at small SF,
+      but at 10⁹ vectors nothing here assumes a side fits in memory;
+    * the hyperplane matrix is a constant-folded literal (MD5-derived,
+      shared verbatim with the oracle), evaluated JVM-side with
+      higher-order functions — one pass over each vector, no explode
+      of the plane axis (the per-plane explode in round 1 shuffled
+      n×{planes} rows through the band groupBy).
+    """.format(cap=_BUCKET_CAP, planes=_N_PLANES)
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "e", F.expr("transform(embedding, x -> cast(x AS double))"))
-    dot = (f"aggregate(zip_with(e, element_at({_SIGNS_SPARK}, p + 1), "
-           f"(x, s) -> x * s), 0D, (acc, v) -> acc + v)")
-    bits = (emb.select("vec_id", "e",
-                       F.explode(F.sequence(F.lit(0), F.lit(_N_PLANES - 1)))
-                        .alias("p"))
-            .withColumn("bit", F.expr(f"CASE WHEN ({dot}) > 0 THEN 1 ELSE 0 END")))
-    bands = (bits.groupBy("vec_id", (F.col("p") / 4).cast("int").alias("band_id"))
-             .agg(F.sum(F.expr("shiftleft(bit, p % 4)")).alias("band_key")))
-    # the per-band key table and the embedding side tables are tiny
-    # relative to the candidate-pair stream — broadcast them so the
-    # pair generation and the cosine verify stay shuffle-free
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (a.join(F.broadcast(b), (F.col("a.band_id") == F.col("b.band_id"))
+    bits_expr = (
+        f"transform(sequence(0, {_N_PLANES - 1}), p -> "
+        f"CASE WHEN aggregate(zip_with(e, element_at({_SIGNS_SPARK}, p + 1), "
+        f"(x, s) -> x * s), 0D, (acc, v) -> acc + v) > 0 THEN 1 ELSE 0 END)")
+    band_keys_expr = (
+        f"transform(sequence(0, {_N_BANDS - 1}), b -> "
+        f"aggregate(sequence(0, {_BAND_BITS - 1}), 0L, "
+        f"(acc, j) -> acc * 2 + element_at(bits, b * {_BAND_BITS} + j + 1)))")
+    bands = (emb.withColumn("bits", F.expr(bits_expr))
+             .select("vec_id",
+                     F.posexplode(F.expr(band_keys_expr))
+                      .alias("band_id", "band_key")))
+    wcap = Window.partitionBy("band_id", "band_key").orderBy("vec_id")
+    capped = (bands.withColumn("brn", F.row_number().over(wcap))
+              .filter(F.col("brn") <= _BUCKET_CAP).drop("brn"))
+    a = capped.alias("a")
+    b = capped.alias("b")
+    cand = (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
                    & (F.col("a.band_key") == F.col("b.band_key"))
                    & (F.col("a.vec_id") != F.col("b.vec_id")))
             .select(F.col("a.vec_id").alias("va"),
@@ -570,7 +609,7 @@ def q_ann_lsh_top1(spark, sf_dir):
     dotab = "aggregate(zip_with(e_a, e_b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
     na = "sqrt(aggregate(transform(e_a, x -> x * x), 0D, (acc, v) -> acc + v))"
     nb = "sqrt(aggregate(transform(e_b, x -> x * x), 0D, (acc, v) -> acc + v))"
-    scored = (cand.join(F.broadcast(ea), "va").join(F.broadcast(eb), "vb")
+    scored = (cand.join(ea, "va").join(eb, "vb")
               .select("va", "vb",
                       F.expr(f"({dotab}) / (({na}) * ({nb}))").alias("cos_raw")))
     w = Window.partitionBy("va").orderBy(F.round("cos_raw", 6).desc(), F.col("vb"))

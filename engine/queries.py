@@ -322,6 +322,75 @@ def q_entity_the_pattern(spark, sf_dir):
                      .alias("the_entity")))
 
 
+_POS_QUERIES = [
+    ("q01", "Can you give me the book: name and price?"),
+    ("q02", "Extract job title, location, salary, and company name from the listings"),
+    ("q03", "Get the product name, price, and description"),
+    ("q04", "Show me all the movie titles and ratings"),
+    ("q05", "List book author, title, price and rating"),
+    ("q06", "Find all companies with their revenue and employees"),
+    ("q07", "Get customer information including names and addresses"),
+    ("q08", "Extract vehicle details like model and year"),
+    ("q09", "Get detailed product info with price"),
+    ("q10", "Show available apartments with rent and size"),
+    ("q11", "Find cheapest flights with airline and duration"),
+]
+
+# hand-derived from the reference ladder (rule_base_query_parser.py:
+# 100-197 with nltk installed): entity + which tier resolved it
+_POS_EXPECTED = {
+    "q01": ("book", "the-pattern"),
+    "q02": ("job", "pos-tagging"),
+    "q03": ("product", "the-pattern"),
+    "q04": ("movie", "the-pattern"),
+    "q05": ("book", "pos-tagging"),
+    "q06": ("company", "pos-tagging"),
+    "q07": ("customer", "pos-tagging"),
+    "q08": ("vehicle", "pos-tagging"),
+    "q09": ("product", "pos-tagging"),
+    "q10": ("apartment", "pos-tagging"),
+    "q11": ("flight", "pos-tagging"),
+}
+
+_POS_ORACLE = ("SELECT qid,\n"
+               + "  CASE qid "
+               + " ".join(f"WHEN '{k}' THEN '{e}'"
+                          for k, (e, _) in sorted(_POS_EXPECTED.items()))
+               + " END AS entity,\n  CASE qid "
+               + " ".join(f"WHEN '{k}' THEN '{a}'"
+                          for k, (_, a) in sorted(_POS_EXPECTED.items()))
+               + " END AS approach\n"
+               + "FROM (SELECT unnest(["
+               + ", ".join(f"'{k}'" for k, _ in _POS_QUERIES)
+               + "]) AS qid)")
+
+
+@register("pos_entity", _POS_ORACLE)
+def q_pos_entity(spark, sf_dir):
+    """Q4 — the POS-tagging entity tier (engine/postag.py), run through
+    the REAL parser on executors over a fixed query set; the oracle is
+    hand-derived from the reference ladder, so this pins the rebuilt
+    tagger against independent expectations rather than a snapshot."""
+    import pandas as pd
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    df = spark.createDataFrame(_POS_QUERIES, ["qid", "query"])
+    schema = StructType([StructField("qid", StringType()),
+                         StructField("entity", StringType()),
+                         StructField("approach", StringType())])
+
+    def run(batches):
+        from engine.query_parse import parse_query
+        for batch in batches:
+            parsed = [parse_query(q) for q in batch["query"]]
+            yield pd.DataFrame({
+                "qid": batch["qid"],
+                "entity": [p.entity for p in parsed],
+                "approach": [p.entity_approach for p in parsed]})
+
+    return df.mapInPandas(run, schema=schema)
+
+
 @register("count_message", """
 SELECT o_custkey,
        'Found ' || COUNT(*) || CASE WHEN COUNT(*) > 1 THEN ' orders '

@@ -13,10 +13,14 @@ reference (operators Q1-Q9, Q11 of SURVEY.md §2.2):
   (``ml_query_parser.py:189-191``), which is the deterministic
   configuration this rebuild pins parity against (SURVEY.md §5.2).
 
-The POS-tagging tier (Q4, NLTK) is an optional nondeterministic
-dependency in the reference and is deliberately not rebuilt; the
-reference degrades to the simple-heuristic fallback when NLTK is
-absent (``rule_base_query_parser.py:41-42,131-137``).
+The POS-tagging tier (Q4) is rebuilt dependency-free in
+``engine/postag.py``: ``nltk`` is a HARD dependency of the reference
+(``requirements.txt``), so a stock install runs POS tagging for every
+query lacking a "the X" pattern (``rule_base_query_parser.py:125-131``)
+— the simple heuristic only fires when tagging yields no noun.  The
+tier is ON by default (stock-reference parity); ``use_pos=False``
+selects the NLTK-absent degraded mode
+(``rule_base_query_parser.py:41-42,131-137``).
 
 The query is parsed ONCE on the driver and broadcast into the
 extraction UDF (SURVEY.md §3.5) — this module never touches Spark.
@@ -66,8 +70,10 @@ def clean_query(query: str) -> str:
     return query.replace("?", "").replace(":", " ")
 
 
-def extract_entity(cleaned_query: str) -> Tuple[Optional[str], str]:
-    """Q2/Q3/Q5 — stopword strip, "the X" pattern, simple heuristic."""
+def extract_entity(cleaned_query: str,
+                   use_pos: bool = True) -> Tuple[Optional[str], str]:
+    """Q2-Q5 — stopword strip, "the X" pattern, POS-tagging tier,
+    simple-heuristic fallback (ref rule_base_query_parser.py:100-139)."""
     words = cleaned_query.split()
 
     front = FRONT_STOPWORDS - {"the"}
@@ -84,7 +90,15 @@ def extract_entity(cleaned_query: str) -> Tuple[Optional[str], str]:
         if word == "the" and i + 1 < len(words):
             return nouns.singularize(words[i + 1]), "the-pattern"
 
-    # NLTK POS tier intentionally absent (deterministic configuration).
+    # Q4 — POS tier runs on the FULL cleaned query, not the stripped
+    # words (ref rule_base_query_parser.py:127); deterministic rebuild
+    # in engine/postag.py.  use_pos=False is the NLTK-absent mode.
+    if use_pos:
+        from engine import postag
+        entity = postag.extract_entity_pos(
+            cleaned_query, FRONT_STOPWORDS, END_STOPWORDS)
+        if entity:
+            return entity, "pos-tagging"
 
     for word in words:
         if word not in FRONT_STOPWORDS and word not in END_STOPWORDS:
@@ -133,10 +147,10 @@ def extract_attributes(cleaned_query: str, entity: Optional[str]) -> Tuple[List[
     return attributes, "rule-based"
 
 
-def parse_query(query: str) -> ParsedQuery:
+def parse_query(query: str, use_pos: bool = True) -> ParsedQuery:
     """Full rule-based parse (ref rule_base_query_parser.py:66-85)."""
     cleaned = clean_query(query)
-    entity, entity_approach = extract_entity(cleaned)
+    entity, entity_approach = extract_entity(cleaned, use_pos=use_pos)
     attributes, attr_approach = extract_attributes(cleaned, entity)
     return ParsedQuery(
         entity=entity,
@@ -147,7 +161,8 @@ def parse_query(query: str) -> ParsedQuery:
     )
 
 
-def parse_query_hybrid(query: str, min_attributes: int = 2) -> ParsedQuery:
+def parse_query_hybrid(query: str, min_attributes: int = 2,
+                       use_pos: bool = True) -> ParsedQuery:
     """Q11 — hybrid policy in the deterministic (no-ML) configuration.
 
     Ref ``ml_query_parser.py:153-191``: the ML fallback only fires when
@@ -155,4 +170,4 @@ def parse_query_hybrid(query: str, min_attributes: int = 2) -> ParsedQuery:
     rule-based result, so the policy collapses to the rule parse.  The
     ``min_attributes`` parameter is retained for the pluggable ML hook.
     """
-    return parse_query(query)
+    return parse_query(query, use_pos=use_pos)
