@@ -88,6 +88,37 @@ def q_extract_json_family(spark, sf_dir):
     return _exploded(extract_turns(_as_turns(docs), _QUERY))
 
 
+@register("semantic_extract_family", """
+SELECT CAST(doc_id AS VARCHAR) AS conv_id,
+       'Doc ' || doc_id AS name,
+       '£' || (1000 + doc_id % 9000) AS unit_price
+FROM documents
+""")
+def q_semantic_extract_family(spark, sf_dir):
+    """T3 semantic tier end-to-end through the driver: the table's
+    headers are 'item name' / 'price per unit', the query asks for
+    'name' and 'unit price' — 'unit price' has NO exact or substring
+    match, so only the matcher tier (word-Jaccard 2/3 ≈ 0.667 ≥ 0.6)
+    can map it.  Runs ``extract_turns`` with
+    ``matcher_factory=TokenSimilarityMatcher`` — the supported
+    matcher-on configuration (``JobConfig(matcher='token')``)."""
+    from engine.matcher import TokenSimilarityMatcher
+
+    row = ("concat('<tr><td>Doc ', doc_id, '</td><td>£', "
+           "1000 + doc_id % 9000, '</td></tr>')")
+    html = F.expr(
+        "concat('<html><body><table><thead><tr><th>item name</th>"
+        "<th>price per unit</th></tr></thead><tbody>', " + row +
+        ", '</tbody></table></body></html>')")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", html.alias("html"))
+    res = extract_turns(_as_turns(docs), "Get the book: name and unit price",
+                        matcher_factory=TokenSimilarityMatcher)
+    return (res.select("conv_id", F.explode("results").alias("r"))
+            .select("conv_id",
+                    F.col("r")["name"].alias("name"),
+                    F.col("r")["unit price"].alias("unit_price")))
+
+
 # ---------------------------------------------------------------------------
 # group 3 — training-data pipeline operators
 # ---------------------------------------------------------------------------
@@ -128,8 +159,13 @@ def q_dedup_exact(spark, sf_dir):
                  F.count("*").alias("n_copies")))
 
 
-_MINHASH_K = 8
-_BANDS = 4  # rows-per-band = 2
+# 16 minhashes in 8 bands of r=2: band-collision threshold
+# (1/b)^(1/r) = (1/8)^(1/2) ≈ 0.35 — close enough to the 0.2 Jaccard
+# cutoff that most true near-dup pairs become candidates (round 1's
+# 8/4 config collided at s ≈ 0.5 and missed ~85% of 0.2-pairs;
+# VERDICT.md "Next round" 6)
+_MINHASH_K = 16
+_BANDS = 8  # rows-per-band = 2
 
 _DUCK_MINHASH = f"""
 WITH shingled AS (
@@ -173,8 +209,15 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
     Scale path: the candidate join is on (band_id, band_key) — a
     uniform hash key — so the O(n²) pair space is never materialized;
-    only colliding buckets join, and AQE handles any hot bucket."""
-    docs = _t(spark, sf_dir, "documents")
+    only colliding buckets join, and AQE handles any hot bucket.  The
+    band rows come from ONE posexplode projection over the signature
+    (round 1 used a per-band unionAll that leaned on ReusedExchange to
+    avoid recomputing the signature groupBy per band)."""
+    # shingling + 16 md5 minhashes are CPU-bound map work: spread a
+    # coarse input split across the session's cores before the explode
+    # (see _simhash_chunks — the scan side would otherwise run 1 task)
+    docs = (_t(spark, sf_dir, "documents")
+            .repartition(spark.sparkContext.defaultParallelism))
     # materialize the token array once — inlining the split inside the
     # transform lambda would re-split the text per shingle (O(len²))
     toks = docs.select("doc_id", F.expr(_SPARK_TOKS).alias("toks"))
@@ -189,13 +232,11 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     sig = dist.groupBy("doc_id").agg(*[
         F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("sh")).cast("binary")))
          .alias(f"h{k}") for k in range(_MINHASH_K)])
-    bands = None
-    for b in range(_BANDS):
-        part = sig.select(
-            "doc_id", F.lit(b).alias("band_id"),
-            F.md5(F.concat(F.col(f"h{2*b}"), F.col(f"h{2*b+1}"))
-                  .cast("binary")).alias("band_key"))
-        bands = part if bands is None else bands.unionAll(part)
+    band_keys = F.array(*[
+        F.md5(F.concat(F.col(f"h{2*b}"), F.col(f"h{2*b+1}")).cast("binary"))
+        for b in range(_BANDS)])
+    bands = sig.select(
+        "doc_id", F.posexplode(band_keys).alias("band_id", "band_key"))
     a = bands.alias("a")
     b_ = bands.alias("b")
     cand = (a.join(b_, (F.col("a.band_id") == F.col("b.band_id"))
@@ -230,7 +271,11 @@ WITH toks AS (
   FROM toks WHERE len(toks) >= 3
 ), dist AS (SELECT DISTINCT doc_id, sh FROM shingled),
 blocks AS (
-  SELECT doc_id, MIN(md5(sh)) AS block_key FROM dist GROUP BY doc_id
+  SELECT doc_id, block_key FROM (
+    SELECT doc_id, block_key,
+           ROW_NUMBER() OVER (PARTITION BY block_key ORDER BY doc_id) AS brn
+    FROM (SELECT doc_id, MIN(md5(sh)) AS block_key FROM dist GROUP BY doc_id))
+  WHERE brn <= 64
 ), cand AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM blocks a JOIN blocks b
@@ -257,8 +302,16 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     (one block key per doc — a single-permutation MinHash), and exact
     Jaccard is computed only within blocks.  A different candidate-
     generation shape than the banded LSH: one shuffle on the block key,
-    candidate count bounded by block sizes."""
-    docs = _t(spark, sf_dir, "documents")
+    candidate count bounded by block sizes.
+
+    A boilerplate-shared min shingle would make one block quadratic at
+    corpus scale, so block membership is capped at 64 docs (ROW_NUMBER
+    by doc_id — deterministic, mirrored in the oracle): a hot block
+    contributes at most 64·63/2 pairs; docs beyond the cap fall out of
+    this blocking pass (recall, not correctness — rerun with a second
+    shingle permutation to recover them)."""
+    docs = (_t(spark, sf_dir, "documents")
+            .repartition(spark.sparkContext.defaultParallelism))
     toks = docs.select("doc_id", F.expr(_SPARK_TOKS).alias("toks"))
     shingle_expr = (
         "CASE WHEN size(toks) >= 3 THEN "
@@ -267,8 +320,11 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
         "' ', element_at(toks, i + 2))) ELSE array() END")
     dist = (toks.select("doc_id", F.explode(F.expr(shingle_expr)).alias("sh"))
             .distinct())
-    blocks = dist.groupBy("doc_id").agg(
-        F.min(F.md5(F.col("sh").cast("binary"))).alias("block_key"))
+    wblk = Window.partitionBy("block_key").orderBy("doc_id")
+    blocks = (dist.groupBy("doc_id")
+              .agg(F.min(F.md5(F.col("sh").cast("binary"))).alias("block_key"))
+              .withColumn("brn", F.row_number().over(wblk))
+              .filter(F.col("brn") <= 64).drop("brn"))
     a = blocks.alias("a")
     b = blocks.alias("b")
     cand = (a.join(b, (F.col("a.block_key") == F.col("b.block_key"))
@@ -295,44 +351,182 @@ _HEX_CASE = ("CASE {d} WHEN '0' THEN 0 WHEN '1' THEN 1 WHEN '2' THEN 2 "
              "WHEN 'b' THEN 11 WHEN 'c' THEN 12 WHEN 'd' THEN 13 "
              "WHEN 'e' THEN 14 ELSE 15 END")
 
-_DUCK_SIMHASH = f"""
-WITH toks AS (
-  SELECT DISTINCT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
-), bits AS (
-  SELECT doc_id, p.p,
-         SUM(CASE WHEN
-               ((({_HEX_CASE.format(d="substr(md5(tok), 1 + p.p // 4, 1)")})
-                >> (3 - p.p % 4)) & 1) = 1
-             THEN 1 ELSE -1 END) AS vote
-  FROM toks, (SELECT unnest(range(0, 16)) AS p) p
-  GROUP BY doc_id, p.p
-)
-SELECT doc_id,
-       CAST(SUM(CASE WHEN vote > 0 THEN 1 << p ELSE 0 END) AS BIGINT)
-         AS simhash16
-FROM bits GROUP BY doc_id
+# 64-bit simhash, emitted as 4 × 16-bit chunk columns (c0..c3): BIGINT-
+# safe in both engines (bit 63 of a single key overflows DuckDB's
+# left-shift) and the chunks double as the Hamming-LSH band keys —
+# pairs within Hamming distance 3 of the 64-bit sketch agree on ≥1 of
+# the 4 chunks (pigeonhole), so the near-dup join is 4 equality joins.
+_SIMHASH_BITS = 64
+_SIMHASH_CHUNKS = 4
+_CHUNK_BITS = _SIMHASH_BITS // _SIMHASH_CHUNKS
+
+_DUCK_SIMHASH_CHUNKS = f"""
+  WITH stoks AS (
+    SELECT DISTINCT doc_id, md5(unnest({_DUCK_TOKS})) AS h FROM {{src}}
+  ), sbits AS (
+    SELECT doc_id, p.p,
+           SUM(CASE WHEN
+                 ((({_HEX_CASE.format(d="substr(h, 1 + p.p // 4, 1)")})
+                  >> (3 - p.p % 4)) & 1) = 1
+               THEN 1 ELSE -1 END) AS vote
+    FROM stoks, range(0, {_SIMHASH_BITS}) p(p)
+    GROUP BY doc_id, p.p
+  ), schunks AS (
+    SELECT doc_id, p // {_CHUNK_BITS} AS c,
+           SUM(CASE WHEN vote > 0
+               THEN 1::BIGINT << ({_CHUNK_BITS} - 1 - (p % {_CHUNK_BITS}))
+               ELSE 0 END) AS ck
+    FROM sbits GROUP BY doc_id, p // {_CHUNK_BITS}
+  )
+  SELECT doc_id,
+         {', '.join(f"CAST(MAX(CASE WHEN c = {c} THEN ck END) AS BIGINT) AS c{c}"
+                    for c in range(_SIMHASH_CHUNKS))}
+  FROM schunks GROUP BY doc_id
 """
 
 
-@register("dedup_simhash", _DUCK_SIMHASH)
+def _simhash_chunks(docs):
+    """(doc_id, c0..c3) — one JVM-side pass per document: distinct
+    tokens are hashed once, then a single higher-order ``aggregate``
+    folds every token's 64 MD5-derived bits into a ±1 vote vector (no
+    tokens×bits explode — round 1 exploded tokens×16 and still only
+    had a 16-bit key space, VERDICT.md "What's wrong" 3).
+
+    Expression-shape constraints (both measured, both order-of-
+    magnitude):
+
+    * the vote vector is consumed via the aggregate's FINISH lambda
+      (and the chunk array via an explode generator barrier), never as
+      a plain column referenced from inside another lambda —
+      CollapseProject inlines a once-referenced column into its
+      consumer, and a reference inside a loop lambda then re-evaluates
+      the whole token aggregate per iteration (measured 64×: ~94 s for
+      500 docs before this shape);
+    * each token's 16 hex digits are decoded ONCE into a bound array
+      (single-element-transform let binding), not re-substr'd per bit.
+
+    The input is round-robin repartitioned to the session parallelism
+    first: this operator is CPU-bound per row, and a coarse input
+    split (few huge files / single row group) would otherwise serialize
+    it on a handful of tasks — the same move a cluster job makes when
+    scan parallelism < core count."""
+    spark = docs.sparkSession
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    # the first 16 hex chars (64 bits) of each token's MD5, decoded as
+    # two 32-bit halves with conv() — ~2.6× faster than per-bit substr/
+    # ascii parsing (string ops per bit dominate the interpreted cost);
+    # bit p is big-endian across the hex string, matching the oracle's
+    # per-digit extraction exactly
+    halves = ("named_struct("
+              "'hi', cast(conv(substr(h, 1, 8), 16, 10) AS bigint), "
+              "'lo', cast(conv(substr(h, 9, 8), 16, 10) AS bigint))")
+    bit = ("(shiftright(IF(p < 32, hl.hi, hl.lo), "
+           "IF(p < 32, 31 - p, 63 - p)) & 1)")
+    token_votes = (f"element_at(transform(array({halves}), hl -> "
+                   f"zip_with(acc, transform(sequence(0, {_SIMHASH_BITS - 1}),"
+                   f" p -> IF({bit} = 1, 1, -1)), (a, b) -> a + b)), 1)")
+    chunks_of = (f"transform(sequence(0, {_SIMHASH_CHUNKS - 1}), c -> "
+                 f"aggregate(sequence(0, {_CHUNK_BITS - 1}), 0L, (a2, j) -> "
+                 f"a2 * 2 + IF(element_at(votes, c * {_CHUNK_BITS} + j + 1)"
+                 f" > 0, 1L, 0L)))")
+    cks_expr = f"""
+      aggregate(
+        transform(array_distinct({_SPARK_TOKS}), t -> md5(cast(t AS binary))),
+        transform(sequence(1, {_SIMHASH_BITS}), x -> 0),
+        (acc, h) -> {token_votes},
+        votes -> {chunks_of})"""
+    return (docs.select("doc_id", F.explode(F.array(F.expr(cks_expr)))
+                        .alias("cks"))
+            .select("doc_id", *[
+                F.element_at("cks", c + 1).alias(f"c{c}")
+                for c in range(_SIMHASH_CHUNKS)]))
+
+
+@register("dedup_simhash", _DUCK_SIMHASH_CHUNKS.format(src="documents"))
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash sketch (16-bit): per token, MD5-derived bits vote ±1 per
-    position; the sign of the vote sets the bit.  Near-dups then reduce
-    to small-Hamming-distance pairs on a 16-bit key — a cheap
-    equality-ish join at scale instead of O(n²) comparisons."""
-    docs = _t(spark, sf_dir, "documents")
-    toks = (docs.select("doc_id", F.explode(F.expr(_SPARK_TOKS)).alias("tok"))
-            .distinct())
-    hexd = "substr(md5(cast(tok as binary)), cast(1 + floor(p / 4) as int), 1)"
-    bit = f"((({_HEX_CASE.format(d=hexd)}) >> (3 - p % 4)) & 1)"
-    bits = (toks.select("doc_id",
-                        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("p"),
-                        F.col("tok"))
-            .withColumn("contrib", F.expr(f"CASE WHEN {bit} = 1 THEN 1 ELSE -1 END"))
-            .groupBy("doc_id", "p").agg(F.sum("contrib").alias("vote")))
-    return (bits.groupBy("doc_id")
-            .agg(F.sum(F.expr("CASE WHEN vote > 0 THEN shiftleft(1, p) ELSE 0 END"))
-                 .alias("simhash16")))
+    """SimHash sketch (64-bit): per distinct token, MD5-derived bits
+    vote ±1 per position; vote signs set the bits.  Emitted as 4
+    16-bit chunks — the Hamming-LSH band keys consumed by
+    ``simhash_hamming_candidates``.  One projection, no shuffle, no
+    explode: scale-safe at any corpus size."""
+    return _simhash_chunks(_t(spark, sf_dir, "documents"))
+
+
+# near-dup candidates need near-dups to exist: augment the corpus with
+# deterministically perturbed copies (one token appended, doc_id
+# offset) so the Hamming join provably surfaces the planted pairs —
+# both engines build the same augmented input from the same literals.
+_PERTURB_OFFSET = 1_000_000
+
+_DUCK_SIMHASH_SRC = f"""(
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_PERTURB_OFFSET} AS doc_id, text || ' zzperturb'
+  FROM documents WHERE doc_id % 5 = 0
+)"""
+
+_DUCK_HAMMING = f"""
+WITH chunks AS ({_DUCK_SIMHASH_CHUNKS.format(src=_DUCK_SIMHASH_SRC)}),
+bands AS (
+  {' UNION ALL '.join(
+      f"SELECT doc_id, {c} AS band_id, c{c} AS band_key FROM chunks"
+      for c in range(_SIMHASH_CHUNKS))}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(bit_count(xor(x.c0, y.c0)) + bit_count(xor(x.c1, y.c1))
+          + bit_count(xor(x.c2, y.c2)) + bit_count(xor(x.c3, y.c3))
+         AS INT) AS hamming
+FROM cand c JOIN chunks x ON x.doc_id = c.doc_a
+            JOIN chunks y ON y.doc_id = c.doc_b
+WHERE bit_count(xor(x.c0, y.c0)) + bit_count(xor(x.c1, y.c1))
+    + bit_count(xor(x.c2, y.c2)) + bit_count(xor(x.c3, y.c3)) <= 3
+"""
+
+
+@register("simhash_hamming_candidates", _DUCK_HAMMING)
+def q_simhash_hamming_candidates(spark, sf_dir):
+    """Hamming-neighbor join over the 64-bit simhash: pairs within
+    Hamming distance 3 agree on ≥1 of the 4 16-bit chunks (pigeonhole),
+    so candidates come from 4 chunk-equality joins (posexplode → one
+    banded self-join — the dedup_minhash_lsh shape), then the exact
+    distance filters.  Proves the sketch is USABLE for near-dup
+    retrieval, not just computable: the corpus is augmented with
+    deterministic one-token perturbations whose pairs the join must
+    surface."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    perturbed = (docs.filter(F.col("doc_id") % 5 == 0)
+                 .select((F.col("doc_id") + _PERTURB_OFFSET).alias("doc_id"),
+                         F.concat(F.col("text"), F.lit(" zzperturb"))
+                          .alias("text")))
+    chunks = _simhash_chunks(docs.unionAll(perturbed))
+    bands = chunks.select(
+        "doc_id", F.posexplode(F.array(*[
+            F.col(f"c{c}") for c in range(_SIMHASH_CHUNKS)]))
+        .alias("band_id", "band_key"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+                   & (F.col("a.band_key") == F.col("b.band_key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b")).distinct())
+    x = chunks.select(F.col("doc_id").alias("doc_a"),
+                      *[F.col(f"c{c}").alias(f"x{c}")
+                        for c in range(_SIMHASH_CHUNKS)])
+    y = chunks.select(F.col("doc_id").alias("doc_b"),
+                      *[F.col(f"c{c}").alias(f"y{c}")
+                        for c in range(_SIMHASH_CHUNKS)])
+    ham = sum(F.bit_count(F.expr(f"x{c} ^ y{c}"))
+              for c in range(_SIMHASH_CHUNKS))
+    return (cand.join(x, "doc_a").join(y, "doc_b")
+            .withColumn("hamming", ham.cast("int"))
+            .filter(F.col("hamming") <= 3)
+            .select("doc_a", "doc_b", "hamming"))
 
 
 @register("ann_cosine_topk", """
@@ -580,20 +774,29 @@ def q_ann_lsh_top1(spark, sf_dir):
       of the plane axis (the per-plane explode in round 1 shuffled
       n×{planes} rows through the band groupBy).
     """.format(cap=_BUCKET_CAP, planes=_N_PLANES)
-    emb = _t(spark, sf_dir, "embeddings").withColumn(
-        "e", F.expr("transform(embedding, x -> cast(x AS double))"))
+    emb = (_t(spark, sf_dir, "embeddings")
+           # CPU-bound per row (128 plane dots): spread a coarse input
+           # split across the session's cores (see _simhash_chunks)
+           .repartition(spark.sparkContext.defaultParallelism)
+           .withColumn(
+               "e", F.expr("transform(embedding, x -> cast(x AS double))")))
     bits_expr = (
         f"transform(sequence(0, {_N_PLANES - 1}), p -> "
         f"CASE WHEN aggregate(zip_with(e, element_at({_SIGNS_SPARK}, p + 1), "
         f"(x, s) -> x * s), 0D, (acc, v) -> acc + v) > 0 THEN 1 ELSE 0 END)")
+    # `bits` is lambda-BOUND (single-element transform), not a column:
+    # a column reference inside the key-building loop would be inlined
+    # by CollapseProject and re-evaluate all 128 plane dots per bit
+    # (see _simhash_chunks for the measured blowup)
     band_keys_expr = (
+        f"element_at(transform(array({bits_expr}), bits -> "
         f"transform(sequence(0, {_N_BANDS - 1}), b -> "
         f"aggregate(sequence(0, {_BAND_BITS - 1}), 0L, "
-        f"(acc, j) -> acc * 2 + element_at(bits, b * {_BAND_BITS} + j + 1)))")
-    bands = (emb.withColumn("bits", F.expr(bits_expr))
-             .select("vec_id",
-                     F.posexplode(F.expr(band_keys_expr))
-                      .alias("band_id", "band_key")))
+        f"(acc, j) -> acc * 2 + element_at(bits, b * {_BAND_BITS} + j + 1)))"
+        f"), 1)")
+    bands = emb.select("vec_id",
+                       F.posexplode(F.expr(band_keys_expr))
+                        .alias("band_id", "band_key"))
     wcap = Window.partitionBy("band_id", "band_key").orderBy("vec_id")
     capped = (bands.withColumn("brn", F.row_number().over(wcap))
               .filter(F.col("brn") <= _BUCKET_CAP).drop("brn"))

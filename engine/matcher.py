@@ -29,6 +29,27 @@ from __future__ import annotations
 from typing import Callable, List, Optional, Sequence, Tuple
 
 
+def matcher_factory_from_name(name: Optional[str]):
+    """Named matcher configurations for JobConfig / CLI surfaces.
+
+    * ``none`` / None / '' — semantic tiers off (the parity-pinned
+      degraded mode);
+    * ``token`` — :class:`TokenSimilarityMatcher`, the supported
+      deterministic matcher-on configuration (goldens in
+      ``goldens/samples_snapshot_semantic.json``).
+
+    :class:`EmbeddingMatcher` needs an ``encode`` callable (a broadcast
+    model), so it is wired programmatically via
+    ``extract_turns(matcher_factory=...)`` rather than by name.
+    Returns an executor-side ``() -> Matcher`` factory or None.
+    """
+    if not name or name == "none":
+        return None
+    if name == "token":
+        return TokenSimilarityMatcher
+    raise ValueError(f"unknown matcher {name!r} (expected none|token)")
+
+
 class Matcher:
     """Interface: similarity in [0, 1] + argmax over candidates."""
 
@@ -88,8 +109,12 @@ class TokenSimilarityMatcher(Matcher):
 
 class EmbeddingMatcher(Matcher):
     """Wraps an ``encode(list[str]) -> list[vector]`` callable (a
-    broadcast model on executors).  Unique strings are embedded once
-    per matcher instance (per Arrow batch in practice)."""
+    broadcast model on executors).  Unique strings are embedded in
+    BATCHES: every similarity/argmax entry point first collects its
+    cache misses and issues one ``encode`` call for all of them —
+    never one model round-trip per string (the per-item-encode
+    anti-pattern SURVEY.md §4.1 bans; the reference re-encodes inside
+    its per-container recursion, ``general_parser.py:702-703``)."""
 
     _MAX_CACHE = 50_000  # bound per-task memory on high-cardinality text
 
@@ -97,18 +122,35 @@ class EmbeddingMatcher(Matcher):
         self._encode = encode
         self._vecs: dict = {}
 
+    def prime(self, strings: Sequence[str]) -> None:
+        """Encode every not-yet-cached string in ONE model call."""
+        misses = [s for s in dict.fromkeys(strings)
+                  if s and s not in self._vecs]
+        if not misses:
+            return
+        if len(self._vecs) + len(misses) > self._MAX_CACHE:
+            self._vecs.clear()
+        for s, v in zip(misses, self._encode(misses)):
+            self._vecs[s] = v
+
     def _vec(self, s: str):
         v = self._vecs.get(s)
         if v is None:
-            if len(self._vecs) >= self._MAX_CACHE:
-                self._vecs.clear()
-            v = self._encode([s])[0]
-            self._vecs[s] = v
+            self.prime([s])
+            v = self._vecs[s]
         return v
+
+    def best_match(self, query: str,
+                   candidates: Sequence[str]) -> Tuple[Optional[int], float]:
+        # one encode call covers the query and every candidate before
+        # the scoring loop runs
+        self.prime([query, *candidates])
+        return super().best_match(query, candidates)
 
     def similarity(self, a: str, b: str) -> float:
         if not a or not b:
             return 0.0
+        self.prime([a, b])
         va, vb = self._vec(a), self._vec(b)
         dot = sum(x * y for x, y in zip(va, vb))
         na = sum(x * x for x in va) ** 0.5

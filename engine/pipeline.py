@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from engine.extract import extract_turns, extract_turns_multi
+from engine.matcher import matcher_factory_from_name
 from engine.schema import LINEAGE_SCHEMA
 
 
@@ -63,6 +64,11 @@ class JobConfig:
     # to the scan (PushedFilters: In(role, ...)), pruning user/prose
     # turns before any compute
     roles: Optional[List[str]] = None
+    # semantic-tier configuration: "none" (parity-pinned degraded mode)
+    # or "token" (TokenSimilarityMatcher; see engine/matcher.py).
+    # Folded into the resume fingerprint — matcher-on output is not
+    # interchangeable with matcher-off output.
+    matcher: str = "none"
     input_snapshot: Optional[str] = None
     run_id: str = field(default_factory=lambda: uuid.uuid4().hex[:12])
     # test hooks: simulated crashes
@@ -112,6 +118,7 @@ def _config_fingerprint(cfg: JobConfig) -> str:
         "query": cfg.query, "queries": cfg.queries, "roles": cfg.roles,
         "n_buckets": cfg.n_buckets,
         "similarity_threshold": cfg.similarity_threshold,
+        "matcher": cfg.matcher,
     }, sort_keys=True)
     return hashlib.md5(payload.encode()).hexdigest()[:8]
 
@@ -200,9 +207,11 @@ def run_extraction_job(spark: SparkSession, cfg: JobConfig) -> dict:
         # skew salting happens INSIDE the operator, after the
         # prose/markup split: only the CPU-heavy markup rows shuffle;
         # prose rows flow scan -> output with no shuffle
+        matcher_factory = matcher_factory_from_name(cfg.matcher)
         if cfg.queries:
             extracted = extract_turns_multi(part.drop("bucket"), cfg.queries,
                                             cfg.similarity_threshold,
+                                            matcher_factory=matcher_factory,
                                             salt_partitions=shuffle_n,
                                             salt_block=cfg.salt_block)
         else:
@@ -212,6 +221,7 @@ def run_extraction_job(spark: SparkSession, cfg: JobConfig) -> dict:
             # scan per group at the cost of Arrow-transferring prose
             extracted = extract_turns(part.drop("bucket"), cfg.query,
                                       cfg.similarity_threshold,
+                                      matcher_factory=matcher_factory,
                                       salt_partitions=shuffle_n,
                                       salt_block=cfg.salt_block,
                                       jvm_prose_fast_path=False)

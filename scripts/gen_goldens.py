@@ -21,8 +21,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from engine import parser  # noqa: E402
 
 SAMPLES_DIR = "/root/reference/samples"
-GOLDENS_PATH = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "goldens", "samples_snapshot.json")
+_GOLDENS_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "goldens")
+GOLDENS_PATH = os.path.join(_GOLDENS_DIR, "samples_snapshot.json")
+# matcher-on configuration (JobConfig(matcher='token')): same fixture
+# corpus through the TokenSimilarityMatcher so the semantic tiers (T3/
+# G8/J5) are a pinned, supported mode — not just a test-only path
+GOLDENS_SEMANTIC_PATH = os.path.join(
+    _GOLDENS_DIR, "samples_snapshot_semantic.json")
 
 # fixture family × query pairs (FIXTURES.md §2/§3)
 CASES = [
@@ -58,13 +64,13 @@ CASES = [
 ]
 
 
-def build() -> dict:
+def build(matcher=None) -> dict:
     out = {}
     for fname, query in CASES:
         with open(os.path.join(SAMPLES_DIR, fname), encoding="utf-8",
                   errors="replace") as f:
             html = f.read()
-        resp = parser.parse(html, query)
+        resp = parser.parse(html, query, matcher=matcher)
         out[f"{fname}::{query}"] = {
             "message": resp["message"],
             "results": resp["results"],
@@ -74,20 +80,28 @@ def build() -> dict:
     return out
 
 
+def build_semantic() -> dict:
+    from engine.matcher import TokenSimilarityMatcher
+    return build(matcher=TokenSimilarityMatcher())
+
+
 def main() -> int:
-    snapshot = build()
+    snapshots = [(GOLDENS_PATH, build()),
+                 (GOLDENS_SEMANTIC_PATH, build_semantic())]
     if "--check" in sys.argv:
-        with open(GOLDENS_PATH) as f:
-            expected = json.load(f)
-        if snapshot != expected:
-            print("GOLDEN MISMATCH")
-            return 1
+        for path, snapshot in snapshots:
+            with open(path) as f:
+                expected = json.load(f)
+            if snapshot != expected:
+                print(f"GOLDEN MISMATCH: {path}")
+                return 1
         print("goldens match")
         return 0
-    os.makedirs(os.path.dirname(GOLDENS_PATH), exist_ok=True)
-    with open(GOLDENS_PATH, "w") as f:
-        json.dump(snapshot, f, indent=1, sort_keys=True)
-    print(f"wrote {GOLDENS_PATH} with {len(snapshot)} cases")
+    os.makedirs(_GOLDENS_DIR, exist_ok=True)
+    for path, snapshot in snapshots:
+        with open(path, "w") as f:
+            json.dump(snapshot, f, indent=1, sort_keys=True)
+        print(f"wrote {path} with {len(snapshot)} cases")
     return 0
 
 

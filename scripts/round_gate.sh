@@ -35,6 +35,7 @@ echo "== pytest =="
 python -m pytest tests/ -x -q
 
 echo "== bench (sf0.1) =="
-python bench.py
+python bench.py | tee /tmp/round_gate_bench.json
+python scripts/check_bench_floor.py /tmp/round_gate_bench.json
 
 echo "ROUND GATE: ALL GREEN"

@@ -31,6 +31,9 @@ def main() -> int:
     p.add_argument("--buckets-per-commit", type=int, default=0)
     p.add_argument("--salt-block", type=int, default=256)
     p.add_argument("--similarity-threshold", type=float, default=0.6)
+    p.add_argument("--matcher", default="none", choices=["none", "token"],
+                   help="semantic-tier matcher: none (parity-pinned "
+                        "degraded mode) or token (TokenSimilarityMatcher)")
     p.add_argument("--input-snapshot", default=None)
     p.add_argument("--roles", default=None,
                    help="comma-separated role filter, pushed to the scan")
@@ -51,6 +54,7 @@ def main() -> int:
         buckets_per_commit=args.buckets_per_commit,
         salt_block=args.salt_block,
         similarity_threshold=args.similarity_threshold,
+        matcher=args.matcher,
         roles=[r.strip() for r in args.roles.split(",") if r.strip()]
         if args.roles else None,
         input_snapshot=args.input_snapshot,

@@ -82,6 +82,53 @@ def test_multi_query_crash_resume_equals_single_shot(spark, tmp_path):
     assert a == b
 
 
+def test_multi_query_crash_before_lineage_no_duplicates(spark, tmp_path):
+    """VERDICT.md r1 item 8: the duplicate-risk window (output written,
+    lineage NOT committed) in QUERIES mode — the re-run bucket's
+    dynamic-partition overwrite must keep the (turn × query) grain
+    exactly-once."""
+    from engine.pipeline import JobConfig, SimulatedFailure, run_extraction_job
+
+    import pytest
+
+    inp = str(tmp_path / "in")
+    synth_transcripts(spark, n_conversations=8, turns_per_conv=6) \
+        .write.parquet(inp)
+    qs = {"a": CANONICAL_QUERY, "b": QUERIES["q_title"]}
+
+    ref = JobConfig(input_path=inp, output_path=str(tmp_path / "ref_out"),
+                    lineage_path=str(tmp_path / "ref_lin"),
+                    query="", queries=qs, n_buckets=4)
+    run_extraction_job(spark, ref)
+
+    cfg = JobConfig(input_path=inp, output_path=str(tmp_path / "out"),
+                    lineage_path=str(tmp_path / "lin"),
+                    query="", queries=qs, n_buckets=4,
+                    buckets_per_commit=2, fail_before_lineage_group=2)
+    with pytest.raises(SimulatedFailure):
+        run_extraction_job(spark, cfg)
+    cfg2 = JobConfig(input_path=inp, output_path=cfg.output_path,
+                     lineage_path=cfg.lineage_path,
+                     query="", queries=qs, n_buckets=4, buckets_per_commit=2)
+    metrics = run_extraction_job(spark, cfg2)
+    assert metrics["resumed"] is True
+
+    out = spark.read.parquet(cfg.output_path)
+    # exactly-once at the (turn, query) grain: no duplicate keys
+    assert out.count() == 48 * 2
+    assert out.select("query_id", "conv_id", "turn_idx").distinct() \
+              .count() == 48 * 2
+    cols = ["query_id", "conv_id", "turn_idx", "turn_seq", "n_results",
+            "status"]
+    a = out.select(*cols).orderBy(*cols).collect()
+    b = (spark.read.parquet(ref.output_path).select(*cols)
+         .orderBy(*cols).collect())
+    assert a == b
+    # lineage rows_in reconciles at input-turn granularity
+    lin = spark.read.parquet(cfg.lineage_path)
+    assert lin.agg(F.sum("rows_in")).first()[0] == 48
+
+
 def test_multi_query_id_column_first(spark):
     df = synth_transcripts(spark, n_conversations=3, turns_per_conv=3)
     multi = extract_turns_multi(df, {"a": CANONICAL_QUERY})

@@ -162,6 +162,56 @@ def test_resume_against_changed_input_refused(spark, tmp_path):
         run_extraction_job(spark, cfg3)
 
 
+def test_matcher_on_job_configuration(spark, tmp_path):
+    """matcher='token' is a supported JobConfig mode: the job runs the
+    semantic tiers, and its resume identity differs from matcher='none'
+    so the two modes' outputs can never silently mix."""
+    from engine.pipeline import _config_fingerprint
+
+    inp = _mk_input(spark, tmp_path, n_conversations=6, turns_per_conv=6)
+    cfg = JobConfig(input_path=inp, output_path=str(tmp_path / "out"),
+                    lineage_path=str(tmp_path / "lineage"),
+                    query=CANONICAL_QUERY, n_buckets=4, matcher="token")
+    metrics = run_extraction_job(spark, cfg)
+    assert metrics["buckets_processed"] == 4
+    out = spark.read.parquet(cfg.output_path)
+    assert out.count() == 36
+    # same rows extracted as matcher-off for this corpus (headers match
+    # exactly, so the semantic tier never overrides) — the mode is about
+    # CAPABILITY, proven by the fingerprint split + semantic goldens
+    assert out.filter(F.col("status") == "parse_error").count() == 0
+    off = JobConfig(input_path=inp, output_path="x", lineage_path="x",
+                    query=CANONICAL_QUERY, n_buckets=4)
+    assert _config_fingerprint(cfg) != _config_fingerprint(off)
+
+    # resuming the matcher-on job against its own lineage is a no-op
+    again = run_extraction_job(spark, cfg)
+    assert again["resumed"] is True and again["buckets_processed"] == 0
+
+    # ...but a matcher-off resume against matcher-on lineage is refused
+    mixed = JobConfig(input_path=inp, output_path=cfg.output_path,
+                      lineage_path=cfg.lineage_path,
+                      query=CANONICAL_QUERY, n_buckets=4)
+    with pytest.raises(SnapshotMismatch):
+        run_extraction_job(spark, mixed)
+
+
+def test_semantic_goldens_pinned():
+    """The matcher-on configuration has its own committed golden set;
+    it must differ from the deterministic snapshot on cases where the
+    semantic tiers fire (otherwise the mode is vacuous)."""
+    import json
+
+    from scripts.gen_goldens import (GOLDENS_PATH, GOLDENS_SEMANTIC_PATH,
+                                     build_semantic)
+    with open(GOLDENS_SEMANTIC_PATH) as f:
+        expected = json.load(f)
+    assert build_semantic() == expected
+    with open(GOLDENS_PATH) as f:
+        base = json.load(f)
+    assert any(expected[k] != base[k] for k in base)
+
+
 def test_skew_salting_bounds_task_input(spark, tmp_path):
     """One conversation with 100× the turns must not serialize into a
     single task: with salt_block B its turns spread over ≥ turns/B

@@ -1,0 +1,160 @@
+"""Reference-DERIVED expectations (VERDICT.md r1 item 5).
+
+Unlike goldens/samples_snapshot.json (a self-snapshot that pins
+regressions), every expected value in this module was derived BY HAND
+from the reference source code and the fixture bytes — reading, not
+running, the rebuild — so it is independent parity evidence.  Each
+case documents the exact reference rules that produce the literals.
+
+Shared rules used below (cited once):
+
+* R1 — text-property unwrap: b/strong/i/em/u/h1-h6/... tags are
+  unwrapped before any analysis (``general_parser.py:102-104``,
+  ``HTMLUtils.TEXT_PROPERTY_TAGS`` html_utils.py:12) — so ``<h3><a
+  title=...>`` becomes a bare ``<a>``, and ``<i class="icon-star">``
+  vanishes.
+* R2 — exact-match ladder checks ONLY class/id/name/data-* attribute
+  values against the query attribute, by case-insensitive substring
+  in either direction (``general_parser.py:558-612``).  ``title=``
+  and ``href=`` attribute VALUES are never consulted → an attribute
+  like "name" has no match in a bookstore product card whose only
+  name-ish data is ``<a title="...">``.
+* R3 — with no similarity model, strategy 3 is skipped entirely
+  (``general_parser.py:505-511``): exact match or nothing.
+* R4 — repeated-structure groups are ALL classes with >1 element
+  (similar-structure filtering feeds a list that is never used for
+  grouping, ``html_utils.py:59-78``), sorted by size descending; a
+  group qualifies when its first container yields ≥ max(1, n_attrs//2)
+  attributes (``general_parser.py:151``) and its mean confidence
+  (missing attrs = 0, ``:855-868``) is ≥ 0.4 (``:182``).
+* R5 — group-winner quirk: the first qualifying group wins the
+  confidence branch WITHOUT updating highest_count; the next group
+  with EQUAL confidence then wins via count > stale 0
+  (``general_parser.py:164-178``).
+* R6 — non-first containers of the winning group replay only the
+  attrs that produced a path chain; their record omits never-found
+  attrs entirely, while record 0 carries explicit None
+  (``general_parser.py:184-205``, ``:340-354``).
+* R7 — likely containers are every tag (html/body included; only
+  head/script/style/meta/link excluded) with ≥ n_attrs descendants
+  (``html_utils.py:195-214``); the best is the FIRST in document
+  order achieving the max found-count (later ties need strictly more
+  attrs or strictly higher confidence, ``general_parser.py:255-260``).
+* R8 — table headers: thead rows, else first tr containing th, else
+  first tr (``table_parser.py:100-131``); attr→header match is exact,
+  else FIRST substring-partial in header order (``:135-173``) — so
+  "name" maps to "First Name", never "Last Name"/"Username"; rows are
+  all_rows[1:] (``:199-206``); multi-table results concatenate
+  (``:59-83``).
+* R9 — envelope: results keyed by pluralized entity, message
+  "Found N <entity|entities> on this page"
+  (``intelligent_parser.py:190-197``).
+"""
+
+import os
+
+from engine import parser
+
+SAMPLES = "/root/reference/samples"
+Q_BOOK = "Can you give me the book: name and price?"
+
+
+def _parse(fname: str, query: str) -> dict:
+    with open(os.path.join(SAMPLES, fname), encoding="utf-8",
+              errors="replace") as f:
+        return parser.parse(f.read(), query)
+
+
+def test_book_simple_general_ladder():
+    """book-simple.html: one product_pod → no class appears twice →
+    no repeated structures (R4) → likely containers (R7).  'price'
+    exact-matches class 'price_color' by substring (R2) inside the
+    recursive container descent; 'name' matches nothing (R2: the only
+    name data is <a title=...>, never consulted; R3: no model).  First
+    max-count container is ol.row → single record."""
+    resp = _parse("book-simple.html", Q_BOOK)
+    assert resp["results"] == {"books": [{"name": None, "price": "£51.77"}]}
+    assert resp["message"] == "Found 1 book on this page"
+    assert resp["metadata"]["approaches_used"]["html_parsing"] == "general"
+
+
+def test_two_books_repeated_structures_and_replay():
+    """two-books.html: two identical product_pods.  Group order by
+    insertion under equal size 2 (html_utils.py:27-56): image_container,
+    product_price, product_pod, then the ol's li group.  image_container
+    yields 0 attrs → skipped; product_price qualifies (price, conf 0.5)
+    and wins the confidence branch; product_pod then steals the win via
+    the stale-count quirk (R5).  Record 0 = full ladder {name: None,
+    price}; record 1 = path-chain replay of 'price' only (R6)."""
+    resp = _parse("two-books.html", Q_BOOK)
+    assert resp["results"] == {"books": [
+        {"name": None, "price": "£51.77"},
+        {"price": "£51.77"},
+    ]}
+    assert resp["message"] == "Found 2 books on this page"
+    assert resp["metadata"]["approaches_used"]["html_parsing"] == "general"
+
+
+def test_single_book_likely_container_fallback():
+    """single-book.html: a full catalogue page whose repeated groups
+    (sidebar nav li's, .row ×3, .page_inner ×2, pager li's) all yield
+    0 attributes from their first container → repeated-structure path
+    returns nothing (R4) → likely containers (R7).  The first
+    document-order container whose subtree holds p.price_color is
+    <html> itself → one record, price only."""
+    resp = _parse("single-book.html", Q_BOOK)
+    assert resp["results"] == {"books": [{"name": None, "price": "£51.77"}]}
+    assert resp["metadata"]["approaches_used"]["html_parsing"] == "general"
+
+
+def test_book_simple_image_ladder():
+    """Image branch (general_parser.py:470-479,513-535): 'image' is an
+    IMAGE_KEYWORD → first <img>'s src wins at score 1.0; 'title' has
+    no class/id/name/data match (R2) → None; the winning container is
+    again the first with max count (here 2: image+price)."""
+    resp = _parse("book-simple.html", "Get the book title, price and image")
+    assert resp["results"] == {"books": [{
+        "title": None,
+        "price": "£51.77",
+        "image": "media/cache/2c/da/2cdad67c44b002e7ead0cc35693c0e8b.jpg",
+    }]}
+    assert resp["metadata"]["approaches_used"]["html_parsing"] == "general"
+
+
+def test_tables_first_partial_header_match_and_concat():
+    """tables.html: 2 tables, headers [#, First Name, Last Name,
+    Username].  'name' partial-matches 'First Name' FIRST (R8) — the
+    later 'Last Name'/'Username' matches never override; 'price'
+    matches nothing and is dropped from the mapping.  3 data rows per
+    table, concatenated (R8)."""
+    resp = _parse("tables.html", Q_BOOK)
+    assert resp["results"] == {"books": [
+        {"name": "Mark"}, {"name": "Jacob"}, {"name": "Larry"},
+        {"name": "Harry"}, {"name": "John"}, {"name": "Tim"},
+    ]}
+    assert resp["message"] == "Found 6 books on this page"
+    assert resp["metadata"]["approaches_used"]["html_parsing"] == "table"
+
+
+def test_tables_without_thead_header_from_first_th_row():
+    """tables-without-thead.html: one table, no <thead> → headers come
+    from the first tr that contains <th> (R8, table_parser.py:113-117);
+    3 data rows."""
+    resp = _parse("tables-without-thead.html", Q_BOOK)
+    assert resp["results"] == {"books": [
+        {"name": "Mark"}, {"name": "Jacob"}, {"name": "Larry"},
+    ]}
+    assert resp["metadata"]["approaches_used"]["html_parsing"] == "table"
+
+
+def test_raw_json_file_is_not_a_json_script():
+    """application-ldjson.json is RAW JSON — no <script> tag, so the
+    JSON-script strategy does not detect it (json_script_parser.py:
+    59-70 looks for script tags only), no <table>, and the general
+    parser finds no elements → zero results with the general label
+    (intelligent_parser.py:165; general_parser.py:106-113)."""
+    resp = _parse("application-ldjson.json",
+                  "Get the property name, price, and address")
+    assert resp["results"] == {"properties": []}
+    assert resp["message"] == "Found 0 property on this page"
+    assert resp["metadata"]["approaches_used"]["html_parsing"] == "general"

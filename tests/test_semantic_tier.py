@@ -38,6 +38,26 @@ def test_embedding_matcher_cosine():
     assert abs(m.similarity("a", "c")) < 1e-9
 
 
+def test_embedding_matcher_batches_encode_calls():
+    """best_match over N candidates must issue ONE encode call for all
+    cache misses, not one per string (SURVEY.md §4.1)."""
+    vecs = {"q": [1.0, 0.0], "a": [0.0, 1.0], "b": [1.0, 0.0],
+            "c": [0.5, 0.5]}
+    calls = []
+
+    def encode(xs):
+        calls.append(list(xs))
+        return [vecs[x] for x in xs]
+
+    m = EmbeddingMatcher(encode)
+    idx, score = m.best_match("q", ["a", "b", "c"])
+    assert idx == 1 and abs(score - 1.0) < 1e-9
+    assert len(calls) == 1 and sorted(calls[0]) == ["a", "b", "c", "q"]
+    # a second argmax over cached strings issues no model call at all
+    m.best_match("q", ["a", "b"])
+    assert len(calls) == 1
+
+
 # --- T3 semantic -----------------------------------------------------------
 
 def test_table_semantic_header_match():
