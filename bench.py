@@ -279,6 +279,11 @@ records) on ONE core and sustains thousands of mixed-family turns/sec
 per machine with executor scaling on top.
 """
     os.makedirs("BENCH", exist_ok=True)
+    # BENCH/FLOOR.md (round-to-round regression floor + per-round suite
+    # notes) is maintained by hand — carry it through the rewrite
+    if os.path.exists("BENCH/FLOOR.md"):
+        with open("BENCH/FLOOR.md") as f:
+            md += "\n" + f.read()
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(md)
     print(json.dumps({f"thr_local{n}": thr_n, f"thr_local{n4}": thr_4n,

@@ -706,9 +706,10 @@ _SIGNS_SQL = ("[" + ", ".join(
 _SIGNS_SPARK = ("array(" + ", ".join(
     "array(" + ", ".join(f"{v}D" for v in row) + ")" for row in _SIGNS) + ")")
 
-_DUCK_ANN_LSH = f"""
-WITH signs AS (SELECT {_SIGNS_SQL} AS s),
-emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+# shared WITH-fragment: sign-random-projection bands + bucket cap over
+# an `emb(vec_id, e DOUBLE[])` CTE the caller must provide
+_DUCK_LSH_BANDS = f"""
+signs AS (SELECT {_SIGNS_SQL} AS s),
 bits AS (
   SELECT vec_id,
          list_transform(range(1, {_N_PLANES} + 1),
@@ -728,7 +729,45 @@ bits AS (
            ROW_NUMBER() OVER (PARTITION BY band_id, band_key
                               ORDER BY vec_id) AS brn
     FROM bands) WHERE brn <= {_BUCKET_CAP}
-), cand AS (
+)"""
+
+def _lsh_embeddings(df):
+    """(vec_id, e DOUBLE[]) with the CPU-bound projection spread across
+    the session's cores (see _simhash_chunks)."""
+    return (df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+            .withColumn(
+                "e", F.expr("transform(embedding, x -> cast(x AS double))")))
+
+
+def _lsh_bands(emb):
+    """(vec_id, band_id, band_key) sign-random-projection bands with
+    the deterministic per-bucket cap — the Spark mirror of
+    ``_DUCK_LSH_BANDS``."""
+    bits_expr = (
+        f"transform(sequence(0, {_N_PLANES - 1}), p -> "
+        f"CASE WHEN aggregate(zip_with(e, element_at({_SIGNS_SPARK}, p + 1), "
+        f"(x, s) -> x * s), 0D, (acc, v) -> acc + v) > 0 THEN 1 ELSE 0 END)")
+    # `bits` is lambda-BOUND (single-element transform), not a column:
+    # a column reference inside the key-building loop would be inlined
+    # by CollapseProject and re-evaluate all 128 plane dots per bit
+    # (see _simhash_chunks for the measured blowup)
+    band_keys_expr = (
+        f"element_at(transform(array({bits_expr}), bits -> "
+        f"transform(sequence(0, {_N_BANDS - 1}), b -> "
+        f"aggregate(sequence(0, {_BAND_BITS - 1}), 0L, "
+        f"(acc, j) -> acc * 2 + element_at(bits, b * {_BAND_BITS} + j + 1)))"
+        f"), 1)")
+    bands = emb.select("vec_id",
+                       F.posexplode(F.expr(band_keys_expr))
+                        .alias("band_id", "band_key"))
+    wcap = Window.partitionBy("band_id", "band_key").orderBy("vec_id")
+    return (bands.withColumn("brn", F.row_number().over(wcap))
+            .filter(F.col("brn") <= _BUCKET_CAP).drop("brn"))
+
+
+_DUCK_ANN_LSH = f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+{_DUCK_LSH_BANDS}, cand AS (
   SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
   FROM capped a JOIN capped b
     ON a.band_id = b.band_id AND a.band_key = b.band_key
@@ -774,32 +813,8 @@ def q_ann_lsh_top1(spark, sf_dir):
       of the plane axis (the per-plane explode in round 1 shuffled
       n×{planes} rows through the band groupBy).
     """.format(cap=_BUCKET_CAP, planes=_N_PLANES)
-    emb = (_t(spark, sf_dir, "embeddings")
-           # CPU-bound per row (128 plane dots): spread a coarse input
-           # split across the session's cores (see _simhash_chunks)
-           .repartition(spark.sparkContext.defaultParallelism)
-           .withColumn(
-               "e", F.expr("transform(embedding, x -> cast(x AS double))")))
-    bits_expr = (
-        f"transform(sequence(0, {_N_PLANES - 1}), p -> "
-        f"CASE WHEN aggregate(zip_with(e, element_at({_SIGNS_SPARK}, p + 1), "
-        f"(x, s) -> x * s), 0D, (acc, v) -> acc + v) > 0 THEN 1 ELSE 0 END)")
-    # `bits` is lambda-BOUND (single-element transform), not a column:
-    # a column reference inside the key-building loop would be inlined
-    # by CollapseProject and re-evaluate all 128 plane dots per bit
-    # (see _simhash_chunks for the measured blowup)
-    band_keys_expr = (
-        f"element_at(transform(array({bits_expr}), bits -> "
-        f"transform(sequence(0, {_N_BANDS - 1}), b -> "
-        f"aggregate(sequence(0, {_BAND_BITS - 1}), 0L, "
-        f"(acc, j) -> acc * 2 + element_at(bits, b * {_BAND_BITS} + j + 1)))"
-        f"), 1)")
-    bands = emb.select("vec_id",
-                       F.posexplode(F.expr(band_keys_expr))
-                        .alias("band_id", "band_key"))
-    wcap = Window.partitionBy("band_id", "band_key").orderBy("vec_id")
-    capped = (bands.withColumn("brn", F.row_number().over(wcap))
-              .filter(F.col("brn") <= _BUCKET_CAP).drop("brn"))
+    emb = _lsh_embeddings(_t(spark, sf_dir, "embeddings"))
+    capped = _lsh_bands(emb)
     a = capped.alias("a")
     b = capped.alias("b")
     cand = (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
@@ -821,6 +836,73 @@ def q_ann_lsh_top1(spark, sf_dir):
             .select(F.col("va").alias("vec_id"),
                     F.col("vb").alias("neighbor_id"),
                     F.round("cos_raw", 4).alias("cosine")))
+
+
+_DUCK_DEDUP_COSINE = f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+emb AS (
+  SELECT vec_id, e FROM base
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         [e[1] + 0.01] || e[2:64] AS e
+  FROM base WHERE vec_id % 10 = 0
+),
+{_DUCK_LSH_BANDS}, pairs AS (
+  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+  FROM capped a JOIN capped b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.vec_id < b.vec_id
+), scored AS (
+  SELECT p.va, p.vb, list_cosine_similarity(ea.e, eb.e) AS cos_raw
+  FROM pairs p JOIN emb ea ON ea.vec_id = p.va
+               JOIN emb eb ON eb.vec_id = p.vb
+)
+SELECT vb AS dup_id, MIN(va) AS keeper_id, COUNT(*) AS n_near
+FROM scored WHERE cos_raw >= 0.95 GROUP BY vb
+"""
+
+
+@register("dedup_embedding_cosine", _DUCK_DEDUP_COSINE)
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup DEDUP (completing the dedup family:
+    exact / MinHash-LSH / n-gram Jaccard / SimHash / embedding-cosine):
+    LSH bands generate candidate pairs, exact cosine ≥ 0.95 confirms,
+    and each duplicate keeps the smallest-id confirmed neighbor as its
+    keeper — the row you'd anti-join away in a cleaning pass.
+
+    The corpus is augmented with deterministically perturbed copies
+    (first component +0.01 in DOUBLE space — identical IEEE arithmetic
+    in both engines) so confirmed near-dups exist by construction; the
+    natural corpus is near-random (max top-1 cosine ≈ 0.51), so every
+    surviving pair is a plant the LSH bands had to recall.  Same scale
+    shape as ann_lsh_top1: banded self-join, bucket cap, no broadcast
+    hints, cosine only on candidates."""
+    base = _lsh_embeddings(_t(spark, sf_dir, "embeddings"))
+    dups = (base.filter(F.col("vec_id") % 10 == 0)
+            .select((F.col("vec_id") + 1000000).alias("vec_id"),
+                    F.expr("concat(array(element_at(e, 1) + 0.01D), "
+                           "slice(e, 2, 63))").alias("e")))
+    emb = base.select("vec_id", "e").unionAll(dups)
+    capped = _lsh_bands(emb)
+    a = capped.alias("a")
+    b = capped.alias("b")
+    pairs = (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+                    & (F.col("a.band_key") == F.col("b.band_key"))
+                    & (F.col("a.vec_id") < F.col("b.vec_id")))
+             .select(F.col("a.vec_id").alias("va"),
+                     F.col("b.vec_id").alias("vb")).distinct())
+    ea = emb.select(F.col("vec_id").alias("va"), F.col("e").alias("e_a"))
+    eb = emb.select(F.col("vec_id").alias("vb"), F.col("e").alias("e_b"))
+    dotab = "aggregate(zip_with(e_a, e_b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    na = "sqrt(aggregate(transform(e_a, x -> x * x), 0D, (acc, v) -> acc + v))"
+    nb = "sqrt(aggregate(transform(e_b, x -> x * x), 0D, (acc, v) -> acc + v))"
+    scored = (pairs.join(ea, "va").join(eb, "vb")
+              .select("va", "vb",
+                      F.expr(f"({dotab}) / (({na}) * ({nb}))").alias("cos_raw")))
+    return (scored.filter(F.col("cos_raw") >= 0.95)
+            .groupBy(F.col("vb").alias("dup_id"))
+            .agg(F.min("va").alias("keeper_id"),
+                 F.count("*").alias("n_near")))
 
 
 @register("sessionize", """
