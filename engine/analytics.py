@@ -88,6 +88,69 @@ def q_extract_json_family(spark, sf_dir):
     return _exploded(extract_turns(_as_turns(docs), _QUERY))
 
 
+@register("boilerplate_strip", """
+SELECT CAST(doc_id AS VARCHAR) AS conv_id,
+       'Document ' || doc_id
+         || ' opens with a long, comma separated sentence, for scoring.'
+         || ' It continues, with more commas, and a second paragraph for'
+         || ' document ' || doc_id || '.' AS main_text,
+       'content' AS winner_class
+FROM documents
+""")
+def q_boilerplate_strip(spark, sf_dir):
+    """North-star operator: Arc90/readability-style boilerplate strip
+    (engine/boilerplate.py) through the driver.  Pages carry a nav bar,
+    a footer and a div.content with two closed-form comma-rich
+    paragraphs; the oracle reconstructs the winner's collapsed text —
+    so candidate scoring, ±25 class hints, link-density damping and
+    text collapse must all land exactly for the hash to match."""
+    from engine.boilerplate import strip_boilerplate
+
+    p1 = ("concat('Document ', doc_id, ' opens with a long, comma "
+          "separated sentence, for scoring.')")
+    p2 = ("concat('It continues, with more commas, and a second "
+          "paragraph for document ', doc_id, '.')")
+    html = F.expr(
+        "concat('<html><body>"
+        "<div class=\"nav\"><a href=\"/\">Home</a> <a href=\"/a\">About</a>"
+        " <a href=\"/p\">Products</a></div>"
+        "<div class=\"content\"><p>', " + p1 + ", '</p> <p>', " + p2 + ", '"
+        "</p></div>"
+        "<div class=\"footer\"><a href=\"/i\">Imprint</a></div>"
+        "</body></html>')")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", html.alias("html"))
+    res = strip_boilerplate(_as_turns(docs))
+    return res.select("conv_id", "main_text", "winner_class")
+
+
+@register("pdf_extract", """
+SELECT CAST(doc_id AS VARCHAR) AS conv_id,
+       'Doc ' || doc_id || ', recovered from a content stream'
+         AS pdf_text,
+       true AS pdf_ok
+FROM documents
+""")
+def q_pdf_extract(spark, sf_dir):
+    """North-star "PDF/layout parse" axis through the driver: PDF
+    bytes are synthesized JVM-side (closed-form content stream per
+    document), the dependency-free extractor (engine/pdf.py) recovers
+    the text operators, and the oracle reconstructs the expected text
+    directly — literal-string parsing, operator scan and the Arrow
+    binary-column plumbing all land in the hash."""
+    from engine.pdf import parse_pdf_turns
+
+    pdf = F.expr(
+        "cast(concat('%PDF-1.4\\n1 0 obj << /Length 64 >> stream\\n"
+        "BT /F1 12 Tf 72 720 Td (Doc ', doc_id, ', recovered from a "
+        "content stream) Tj ET\\nendstream endobj\\n%%EOF') AS binary)")
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"), F.lit("tool").alias("role"),
+        pdf.alias("payload"))
+    return (parse_pdf_turns(docs)
+            .select("conv_id", "pdf_text", "pdf_ok"))
+
+
 @register("semantic_extract_family", """
 SELECT CAST(doc_id AS VARCHAR) AS conv_id,
        'Doc ' || doc_id AS name,
