@@ -83,6 +83,47 @@ def main() -> int:
     if "BroadcastNestedLoopJoin" not in jplan and "BroadcastHashJoin" not in jplan:
         failures.append("fuzzy theta-join did not broadcast the small side")
 
+    # --- ANN LSH: no broadcast HINTS, no cartesian products --------------
+    # (AQE may still CHOOSE broadcast at tiny SF — that's runtime
+    # adaptivity, not a plan assumption; a ResolvedHint or a cartesian
+    # in the analyzed plan would be a 10^9-vector scale bug)
+    for qname in ("ann_lsh_top1", "dedup_embedding_cosine",
+                  "dedup_minhash_lsh", "simhash_hamming_candidates",
+                  "dedup_ngram_jaccard"):
+        fn, _ = _REGISTRY[qname]
+        qdf = fn(spark, "/root/testdata/sf0.001")
+        analyzed = explain_str(qdf, "extended")
+        if "ResolvedHint" in analyzed or "hints=[broadcast]" in analyzed:
+            failures.append(f"{qname}: broadcast hint present — the "
+                            f"candidate join must not assume a side fits")
+        physical = explain_str(qdf)
+        if "CartesianProduct" in physical:
+            failures.append(f"{qname}: cartesian product in the plan")
+
+    # --- simhash: single-pass projection, no explode/shuffle -------------
+    fn, _ = _REGISTRY["dedup_simhash"]
+    splan = explain_str(fn(spark, "/root/testdata/sf0.001"))
+    n_sh = len(re.findall(r"\(\d+\) Exchange\b", splan))
+    if n_sh > 1:
+        failures.append(
+            f"dedup_simhash: expected ≤1 shuffle (the parallelism "
+            f"repartition only), found {n_sh}")
+    if re.search(r"\(\d+\) Generate\b.*explode\(sequence", splan):
+        failures.append("dedup_simhash: bit-axis explode crept back in")
+
+    # --- boilerplate/pdf operators: pure row maps (no shuffle) -----------
+    from engine.boilerplate import strip_boilerplate
+    from engine.pdf import parse_pdf_turns
+    bdf = strip_boilerplate(df)
+    bplan = explain_str(bdf)
+    if re.search(r"\(\d+\) Exchange\b", bplan):
+        failures.append("strip_boilerplate: shuffle in a pure row map")
+    pdf_in = df.select("conv_id", "turn_idx", "role",
+                       F.col("text").cast("binary").alias("payload"))
+    pplan = explain_str(parse_pdf_turns(pdf_in))
+    if re.search(r"\(\d+\) Exchange\b", pplan):
+        failures.append("parse_pdf_turns: shuffle in a pure row map")
+
     print("\n=== checks ===")
     if failures:
         for f in failures:

@@ -138,3 +138,67 @@ def test_json_script_with_arbitrary_payload_never_raises(payload):
         json.loads(payload.replace("</", "<\\/").strip() or "null")
     except Exception:
         assert results == []
+
+
+# --- round-2 modules: postag / boilerplate / pdf ---------------------------
+
+@given(st.text(max_size=300))
+def test_postag_total_and_deterministic(q):
+    from engine.postag import extract_entity_pos, pos_tag, tokenize
+    from engine.query_parse import END_STOPWORDS, FRONT_STOPWORDS
+
+    toks = tokenize(q.lower())
+    tags = pos_tag(toks)
+    assert len(tags) == len(toks)
+    assert all(isinstance(t, str) and t for _, t in tags)
+    e1 = extract_entity_pos(q.lower(), FRONT_STOPWORDS, END_STOPWORDS)
+    e2 = extract_entity_pos(q.lower(), FRONT_STOPWORDS, END_STOPWORDS)
+    assert e1 == e2
+    # a POS entity is always a token of the query, singularized
+    if e1 is not None:
+        assert e1 == e1.lower()
+
+
+@given(st.text(max_size=1500))
+def test_boilerplate_total_on_garbage(html):
+    from engine.boilerplate import extract_main_text
+
+    out = extract_main_text(html)
+    assert out["main_len"] == len(out["main_text"])
+    assert out["removed_len"] >= 0
+    assert 0.0 <= out["link_density"] <= 1.0
+    # main text is whitespace-collapsed
+    assert "  " not in out["main_text"]
+    assert out["main_text"] == out["main_text"].strip()
+
+
+@given(st.binary(max_size=2000))
+def test_pdf_extract_total_on_garbage(data):
+    from engine.pdf import extract_pdf_text
+
+    text, ok = extract_pdf_text(data)
+    assert isinstance(text, str)
+    assert isinstance(ok, bool)
+    if not text:
+        assert ok is False
+
+
+@given(st.text(alphabet=string.printable, max_size=200))
+def test_pdf_literal_string_roundtrip(s):
+    """Any text encodable in latin-1 survives a (escaped) Tj literal."""
+    from engine.pdf import extract_pdf_text
+
+    try:
+        s.encode("latin-1")
+    except UnicodeEncodeError:
+        return
+    esc = (s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+           .encode("latin-1"))
+    pdf = (b"%PDF-1.4\n1 0 obj << >> stream\nBT (" + esc
+           + b") Tj ET\nendstream endobj")
+    text, ok = extract_pdf_text(pdf)
+    # compare modulo line normalization (raw CR/LF inside a literal is
+    # legal PDF; the extractor passes it through, empty lines collapse)
+    def canon(x):
+        return x.replace("\r", "").replace("\n", "")
+    assert canon(text) == canon(s)
