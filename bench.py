@@ -122,9 +122,10 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
     # analytics operators at scale (skipped in scaling-only mode)
     analytics_names = [] if os.environ.get("SPARK_GRAFT_SCALING_ONLY") else [
         "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-        "dedup_simhash", "ann_cosine_topk", "ann_lsh_top1",
+        "dedup_simhash", "simhash_hamming_candidates",
+        "dedup_embedding_cosine", "ann_cosine_topk", "ann_lsh_top1",
         "sessionize", "group_winner_rank", "turn_order_window",
-        "quality_score", "token_count"]
+        "quality_score", "token_count", "boilerplate_strip", "pdf_extract"]
     for name in analytics_names:
         fn, _ = _REGISTRY[name]
         t0 = time.time()

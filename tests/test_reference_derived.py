@@ -147,6 +147,39 @@ def test_tables_without_thead_header_from_first_th_row():
     assert resp["metadata"]["approaches_used"]["html_parsing"] == "table"
 
 
+def test_books_group_selection_at_catalogue_scale():
+    """books.html (58 KB, 20 product_pods + sidebar + chrome) — the
+    full group-selection trace:
+
+    groups by size (html_utils.py:59-78; lists keyed by the ul/ol's
+    class, so the class-less sidebar inner <ul> (~50 li) and the
+    class-less product <ol> (20 li) MERGE under key ''):
+    '' (~70 li) → first container is a sidebar category li → 0 attrs →
+    skipped; 'nav nav-list' (51) → 0 attrs → skipped; image_container
+    (20) → 0 attrs → skipped; product_price (20) → price found, conf
+    0.5, wins the confidence branch WITHOUT updating highest_count
+    (R5); product_pod (20) → equal confidence, count 1 > stale 0 →
+    steals the win.  Smaller groups (page_inner/row ×2) tie on count
+    later but have fewer containers → no switch
+    (general_parser.py:171-178).
+
+    Records: container 0 = full ladder {name: None, price}; containers
+    1-19 = path-chain replay of 'price' only (R6) with the 20 distinct
+    prices in document order."""
+    resp = _parse("books.html", Q_BOOK)
+    books = resp["results"]["books"]
+    assert resp["message"] == "Found 20 books on this page"
+    assert books[0] == {"name": None, "price": "£51.77"}
+    prices = ["£51.77", "£53.74", "£50.10", "£47.82", "£54.23", "£22.65",
+              "£33.34", "£17.93", "£22.60", "£52.15", "£13.99", "£20.66",
+              "£17.46", "£52.29", "£35.02", "£57.25", "£23.88", "£37.59",
+              "£51.33", "£45.17"]
+    assert [b["price"] for b in books] == prices
+    assert all(set(b) == {"price"} for b in books[1:]), \
+        "replay records must carry only the path-chained attr (R6)"
+    assert resp["metadata"]["approaches_used"]["html_parsing"] == "general"
+
+
 def test_raw_json_file_is_not_a_json_script():
     """application-ldjson.json is RAW JSON — no <script> tag, so the
     JSON-script strategy does not detect it (json_script_parser.py:
