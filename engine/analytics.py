@@ -592,6 +592,45 @@ def q_simhash_hamming_candidates(spark, sf_dir):
             .select("doc_a", "doc_b", "hamming"))
 
 
+_DUCK_MM = f"""
+WITH h AS (
+  SELECT doc_id AS media_id,
+         CAST(length(text) AS BIGINT) AS nbytes,
+         sha256(text) AS content_sha
+  FROM documents
+)
+SELECT media_id, nbytes, content_sha,
+       ROUND((16.0 * ({_HEX_CASE.format(d="substr(content_sha, 1, 1)")})
+              + ({_HEX_CASE.format(d="substr(content_sha, 2, 1)")}))
+             / 255.0, 4) AS f0,
+       'ok' AS status
+FROM h
+"""
+
+
+@register("multimodal_features", _DUCK_MM)
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing through the driver: document text bytes
+    stand in for opaque media payloads (binary column), the Arrow-
+    batched feature kernel (engine/multimodal.py) computes size /
+    sha-256 / the deterministic fake feature vector, and the oracle
+    reconstructs byte count, digest and the first feature (first
+    digest byte / 255) — so the binary Arrow transfer, batch shape and
+    float feature path are all hash-checked, not just pytest-smoked.
+    Documents are ASCII, so DuckDB's length(text) equals the byte
+    count."""
+    from engine.multimodal import extract_media_features
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("payload"))
+    feats = extract_media_features(docs, deterministic_fake=True)
+    return feats.select(
+        "media_id", "nbytes", "content_sha",
+        F.round(F.element_at("features", 1).cast("double"), 4).alias("f0"),
+        "status")
+
+
 @register("ann_cosine_topk", """
 WITH q AS (
   SELECT embedding::DOUBLE[] AS qe FROM embeddings
@@ -738,6 +777,96 @@ def q_doc_fingerprint(spark, sf_dir):
     return (_t(spark, sf_dir, "documents")
             .select("doc_id", fp.alias("fingerprint"),
                     F.substring(fp, 1, 8).alias("fp_prefix")))
+
+
+_C4_STOPWORDS = ("the", "a", "an", "of", "and", "to", "in", "is", "it",
+                 "that", "for", "on", "with", "as", "was", "at", "by")
+_C4_STOP_SQL = ", ".join(f"'{w}'" for w in _C4_STOPWORDS)
+
+
+@register("quality_signals", f"""
+SELECT doc_id,
+       FLOOR(10000.0 * length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+             / GREATEST(length(text), 1)) / 10000 AS punct_ratio,
+       FLOOR(10000.0 * len(list_filter({_DUCK_TOKS},
+                x -> x IN ({_C4_STOP_SQL})))
+             / GREATEST(len({_DUCK_TOKS}), 1)) / 10000 AS stopword_ratio,
+       (len(list_filter({_DUCK_TOKS}, x -> x IN ({_C4_STOP_SQL})))
+          >= 0.02 * len({_DUCK_TOKS}))
+       AND (length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+          <= 0.2 * GREATEST(length(text), 1))
+       AND len({_DUCK_TOKS}) BETWEEN 10 AND 100000 AS keep
+FROM documents
+""")
+def q_quality_signals(spark, sf_dir):
+    """C4-style quality gate signals: punctuation-character ratio,
+    stopword-token ratio, and the keep/drop decision (≥2% stopwords —
+    prose, not keyword salad; ≤20% punctuation — not markup debris;
+    10..100k tokens).  Pure projection, scale-free; complements the
+    length/diversity-based quality_score."""
+    docs = _t(spark, sf_dir, "documents")
+    punct = F.expr("length(regexp_replace(text, '[^.,;:!?]', ''))")
+    total = F.expr("greatest(length(text), 1)")
+    stops = F.expr(f"size(filter({_SPARK_TOKS}, x -> x IN ({_C4_STOP_SQL})))")
+    ntok = F.expr(f"size({_SPARK_TOKS})")
+    return docs.select(
+        "doc_id",
+        (F.floor(10000.0 * punct / total) / 10000).alias("punct_ratio"),
+        (F.floor(10000.0 * stops / F.greatest(ntok, F.lit(1))) / 10000)
+        .alias("stopword_ratio"),
+        ((stops >= 0.02 * ntok) & (punct <= 0.2 * total)
+         & ntok.between(10, 100000)).alias("keep"))
+
+
+# winnowing (MOSS): k-char-gram hashes, min per window of w — the
+# rolling-hash fingerprint family; any shared substring of length
+# ≥ w + k - 1 between two documents shares a fingerprint
+_WINNOW_K, _WINNOW_W = 7, 8
+
+_DUCK_WINNOW = f"""
+WITH t AS (SELECT doc_id, lower(text) AS txt FROM documents),
+kg AS (
+  SELECT doc_id,
+         CASE WHEN length(txt) >= {_WINNOW_K} THEN
+           list_transform(range(1, length(txt) - {_WINNOW_K} + 2),
+                          i -> md5(substr(txt, i, {_WINNOW_K})))
+         ELSE [] END AS kgs
+  FROM t
+)
+SELECT doc_id, unnest(fps) AS fp FROM (
+  SELECT doc_id,
+         CASE WHEN len(kgs) >= {_WINNOW_W} THEN
+           list_distinct(list_transform(range(1, len(kgs) - {_WINNOW_W} + 2),
+                         j -> list_min(kgs[j:j + {_WINNOW_W} - 1])))
+         WHEN len(kgs) > 0 THEN [list_min(kgs)]
+         ELSE [] END AS fps
+  FROM kg)
+"""
+
+
+@register("fingerprint_winnowing", _DUCK_WINNOW)
+def q_fingerprint_winnowing(spark, sf_dir):
+    """Winnowing fingerprints (the rolling-hash fingerprint family,
+    MOSS): hash every 7-char gram, keep the minimum hash of each
+    window of 8 consecutive gram hashes, dedup — a guarantee-bearing
+    substring-overlap sketch (shared runs ≥ w+k-1 chars always share a
+    fingerprint).  JVM-side only; the gram array is lambda-BOUND into
+    the window pass (CollapseProject discipline, see _simhash_chunks).
+    At corpus scale the exploded (doc_id, fp) rows feed a groupBy(fp)
+    join to find cross-document plagiarism/boilerplate runs."""
+    docs = (_t(spark, sf_dir, "documents")
+            .repartition(spark.sparkContext.defaultParallelism))
+    kgrams = (f"CASE WHEN length(lower(text)) >= {_WINNOW_K} THEN "
+              f"transform(sequence(1, length(lower(text)) - {_WINNOW_K} + 1),"
+              f" i -> md5(cast(substr(lower(text), i, {_WINNOW_K}) "
+              f"AS binary))) ELSE array() END")
+    fps = (f"element_at(transform(array({kgrams}), kg -> "
+           f"CASE WHEN size(kg) >= {_WINNOW_W} THEN "
+           f"array_distinct(transform(sequence(1, size(kg) - {_WINNOW_W} + 1),"
+           f" j -> array_min(slice(kg, j, {_WINNOW_W})))) "
+           f"WHEN size(kg) > 0 THEN array(array_min(kg)) "
+           f"ELSE array() END), 1)")
+    return docs.select("doc_id", F.explode(F.expr(fps)).alias("fp"))
 
 
 def _hyperplane_signs(n_planes: int = 16, dims: int = 64):

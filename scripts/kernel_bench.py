@@ -67,11 +67,41 @@ def main() -> int:
             extract_turn(big, parsed)
         best_big = min(best_big, (time.time() - t0) / 20 * 1000)
 
+    # round-2 kernels: boilerplate strip + PDF text, same protocol
+    from engine.boilerplate import extract_main_text
+    from engine.pdf import extract_pdf_text
+    for t in texts[:50]:
+        extract_main_text(t)
+    best_bp = 0.0
+    for _ in range(3):
+        t0 = time.time()
+        for t in texts:
+            extract_main_text(t)
+        best_bp = max(best_bp, len(texts) / (time.time() - t0))
+    bp_big = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(20):
+            extract_main_text(big)
+        bp_big = min(bp_big, (time.time() - t0) / 20 * 1000)
+    pdf = (b"%PDF-1.4\n1 0 obj << >> stream\nBT " + b" ".join(
+        b"(line %d, with text content) Tj 0 -14 Td" % i for i in range(40))
+        + b" ET\nendstream endobj")
+    best_pdf = 0.0
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(2000):
+            extract_pdf_text(pdf)
+        best_pdf = max(best_pdf, 2000 / (time.time() - t0))
+
     print(json.dumps({
         "small_turns_per_sec_1core": round(best_small, 1),
         "big_page_ms": round(best_big, 2),
         "big_page_bytes": len(big),
         "big_page_mb_per_sec_1core": round(len(big) / 1e6 / (best_big / 1000), 2),
+        "boilerplate_small_per_sec_1core": round(best_bp, 1),
+        "boilerplate_big_page_ms": round(bp_big, 2),
+        "pdf_docs_per_sec_1core": round(best_pdf, 1),
     }))
     return 0
 

@@ -97,3 +97,31 @@ def test_stream_metrics_windowed(spark, tmp_path):
     assert {"window", "turns", "records", "parse_failures"} <= \
         set(spark.table("m").columns)
     assert all(r.parse_failures == 0 for r in rows)
+
+
+def test_boilerplate_strip_composes_with_streaming(spark, tmp_path):
+    """strip_boilerplate is a pure row map (mapInPandas), so it runs
+    unchanged on a streaming DataFrame — the same operator serves
+    batch backfill and the live stream (north rule: one engine)."""
+    from engine.boilerplate import strip_boilerplate
+
+    inp = str(tmp_path / "in")
+    _write_batch(spark, inp, 6)
+    schema = spark.read.parquet(inp).schema
+    stream = spark.readStream.schema(schema).parquet(inp)
+    out = strip_boilerplate(stream)
+    q = (out.writeStream.format("memory").queryName("bp")
+         .option("checkpointLocation", str(tmp_path / "cp"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM bp").collect()
+    assert len(rows) == 36
+    # synth paragraphs are below the 25-char candidate threshold, so
+    # markup turns take the [document] fallback (full visible text,
+    # script payloads excluded); prose turns short-circuit as 'none'
+    tags = {r.winner_tag for r in rows}
+    assert tags == {"none", "[document]"}
+    assert all(r.main_text is not None and r.removed_len >= 0 for r in rows)
+    json_rows = [r for r in rows if '"book"' not in r.main_text
+                 and r.winner_tag == "[document]"]
+    assert json_rows, "ld+json script text must not leak into main_text"
