@@ -86,8 +86,23 @@ def extract_turns(df: DataFrame, query: str,
     replay the shuffle once per branch (the plan-check regression this
     parameter exists to avoid).
     """
-    parsed: ParsedQuery = parse_query_hybrid(query)
-    bad_query = not parsed.entity or not parsed.attributes
+    # entity-less queries raise TypeError inside the reference's big
+    # try and surface as the parsing-error envelope (quirk; see
+    # engine/query_parse.extract_entity) — at the operator level that
+    # becomes a constant JVM-side envelope for every row, exactly like
+    # bad_query below (the corpus never ships through Python for a
+    # query that can't extract)
+    try:
+        parsed: ParsedQuery = parse_query_hybrid(query)
+        parse_error = None
+    except TypeError as exc:
+        parsed = ParsedQuery()
+        parse_error = f"Parsing error: {exc}"
+    bad_query = parse_error is not None or not parsed.entity \
+        or not parsed.attributes
+    bad_message = parse_error or \
+        "Could not extract entity and attributes from query"
+    bad_status = "parse_error" if parse_error else "bad_query"
 
     entity = parsed.entity
     from pyspark.sql import functions as F
@@ -144,7 +159,8 @@ def extract_turns(df: DataFrame, query: str,
                     errors[i] = row["error"]
             else:
                 for i in range(n):
-                    messages[i] = "Could not extract entity and attributes from query"
+                    messages[i] = bad_message
+                    statuses[i] = bad_status
                     results[i] = []
 
             out["entity"] = pd.Series(entities, dtype=object)
@@ -185,11 +201,10 @@ def extract_turns(df: DataFrame, query: str,
             F.lit(entity).alias("entity"),
             F.expr("array()").cast(schema["results"].dataType).alias("results"),
             F.lit(0).cast("int").alias("n_results"),
-            F.lit("Could not extract entity and attributes from query")
-             .alias("message"),
+            F.lit(bad_message).alias("message"),
             F.lit("none").alias("strategy"),
-            F.lit("bad_query").alias("status"),
-            F.lit(None).cast("string").alias("error"),
+            F.lit(bad_status).alias("status"),
+            F.lit(parse_error).cast("string").alias("error"),
             F.coalesce(F.octet_length("text"), F.lit(0)).cast("long")
              .alias("text_nbytes"))
 
@@ -237,8 +252,13 @@ def extract_turns_multi(df: DataFrame, queries: dict,
 
     from engine import dom
 
-    parsed_queries = [(qid, parse_query_hybrid(q))
-                      for qid, q in sorted(queries.items())]
+    parsed_queries = []
+    for qid, q in sorted(queries.items()):
+        try:
+            parsed_queries.append((qid, parse_query_hybrid(q), None))
+        except TypeError as exc:  # reference entity-less crash quirk
+            parsed_queries.append((qid, ParsedQuery(),
+                                   f"Parsing error: {exc}"))
 
     schema = StructType([StructField("query_id", StringType(), False)]
                         + RESULTS_SCHEMA.fields)
@@ -261,8 +281,13 @@ def extract_turns_multi(df: DataFrame, queries: dict,
                         root = dom.parse_html(text)
                     except Exception:
                         root = None
-                for qid, parsed in parsed_queries:
-                    if not parsed.entity or not parsed.attributes:
+                for qid, parsed, q_parse_error in parsed_queries:
+                    if q_parse_error is not None:
+                        t = {"entity": None, "results": [], "n_results": 0,
+                             "message": q_parse_error, "strategy": "none",
+                             "status": "parse_error",
+                             "error": q_parse_error}
+                    elif not parsed.entity or not parsed.attributes:
                         t = {"entity": parsed.entity, "results": [],
                              "n_results": 0,
                              "message": "Could not extract entity and "

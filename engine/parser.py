@@ -144,7 +144,21 @@ def parse(html: str, query: str, full_ml: bool = False,
     import time
 
     start = time.time()
-    parsed = parse_query_hybrid(query)
+    try:
+        parsed = parse_query_hybrid(query)
+    except TypeError as exc:
+        # reference quirk: entity-less queries crash the tuple unpack
+        # inside the big try (intelligent_parser.py:70,182-188) and
+        # surface as the generic parsing-error envelope
+        return {
+            "results": {},
+            "message": f"Parsing error: {exc}",
+            "metadata": {
+                "processing_time_ms": round((time.time() - start) * 1000),
+                "model_used": "custom-html-parser-v1",
+                "error": True,
+            },
+        }
 
     if full_ml and ml_model is not None:
         from engine import ml as _ml

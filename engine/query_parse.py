@@ -83,8 +83,14 @@ def extract_entity(cleaned_query: str,
     while words and words[-1] in end:
         words.pop()
 
+    # QUIRK carried verbatim: the reference returns a BARE None (not a
+    # tuple) on every no-entity path (rule_base_query_parser.py:118,
+    # :139), so the caller's tuple unpack raises TypeError and the
+    # request surfaces as the "Parsing error: cannot unpack
+    # non-iterable NoneType object" envelope (intelligent_parser.py:
+    # 182-188) — never as the clean "Could not extract..." message.
     if not words:
-        return None, "none"
+        return None
 
     for i, word in enumerate(words):
         if word == "the" and i + 1 < len(words):
@@ -105,7 +111,7 @@ def extract_entity(cleaned_query: str,
             if len(word) > 2:
                 return nouns.singularize(word), "simple-heuristic"
 
-    return None, "none"
+    return None  # bare None — see the quirk note above
 
 
 def clean_attribute(attribute: str) -> Optional[str]:
@@ -148,7 +154,12 @@ def extract_attributes(cleaned_query: str, entity: Optional[str]) -> Tuple[List[
 
 
 def parse_query(query: str, use_pos: bool = True) -> ParsedQuery:
-    """Full rule-based parse (ref rule_base_query_parser.py:66-85)."""
+    """Full rule-based parse (ref rule_base_query_parser.py:66-85).
+
+    Raises TypeError for entity-less queries — the reference's own
+    behavior (bare-None unpack, rule_base_query_parser.py:80,118,139);
+    callers that need an envelope catch it exactly where the reference
+    does (engine/parser.py, engine/extract.py)."""
     cleaned = clean_query(query)
     entity, entity_approach = extract_entity(cleaned, use_pos=use_pos)
     attributes, attr_approach = extract_attributes(cleaned, entity)

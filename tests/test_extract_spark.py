@@ -59,11 +59,28 @@ def test_fast_path_equals_full_parse_on_prose(spark):
     assert rows[0].results == []
 
 
-def test_bad_query_envelope(spark):
+def test_entityless_query_crash_quirk_envelope(spark):
+    """Entity-less queries hit the reference's bare-None unpack crash
+    (rule_base_query_parser.py:118,139) and surface as the generic
+    parsing-error envelope (intelligent_parser.py:182-188) — carried
+    verbatim, stamped JVM-side without shipping the corpus through
+    Python."""
     df = synth_transcripts(spark, n_conversations=5, turns_per_conv=3)
     res = extract_turns(df, "the")
-    rows = res.select("status").distinct().collect()
-    assert [r.status for r in rows] == ["bad_query"]
+    rows = res.select("status", "message").distinct().collect()
+    assert [(r.status, r.message) for r in rows] == [
+        ("parse_error",
+         "Parsing error: cannot unpack non-iterable NoneType object")]
+
+
+def test_bad_query_envelope(spark):
+    """Entity found but zero attributes → the reference's CLEAN
+    cannot-extract branch (intelligent_parser.py:140-144)."""
+    df = synth_transcripts(spark, n_conversations=5, turns_per_conv=3)
+    res = extract_turns(df, "get the book")
+    rows = res.select("status", "message").distinct().collect()
+    assert [(r.status, r.message) for r in rows] == [
+        ("bad_query", "Could not extract entity and attributes from query")]
 
 
 def test_null_text_handled(spark):

@@ -34,10 +34,18 @@ def test_plain_text_roundtrip(s):
 
 
 @given(st.text(max_size=300))
-def test_query_parse_never_raises_and_dedups(q):
-    parsed = parse_query(q)
+def test_query_parse_total_modulo_reference_crash_quirk(q):
+    # entity-less queries raise TypeError — the reference's own bare-
+    # None unpack crash, carried verbatim (rule_base_query_parser.py:
+    # 118,139); everything else parses cleanly with deduped attributes
+    try:
+        parsed = parse_query(q)
+    except TypeError as e:
+        assert "cannot unpack non-iterable" in str(e)
+        return
+    assert parsed.entity is not None
     assert len(parsed.attributes) == len(set(parsed.attributes))
-    assert parsed.entity is None or parsed.entity == parsed.entity.lower()
+    assert parsed.entity == parsed.entity.lower()
 
 
 @given(st.text(max_size=200))

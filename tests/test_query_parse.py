@@ -92,9 +92,21 @@ def test_hybrid_is_rule_based_without_ml():
     assert b.method == "rule-based"
 
 
-def test_all_stopword_query():
-    parsed = parse_query("get me the")
-    assert parsed.attributes == [] or parsed.entity is None
+def test_entityless_query_raises_like_reference():
+    """Quirk carried verbatim: every no-entity path in the reference
+    returns a BARE None (rule_base_query_parser.py:118,139), so the
+    caller's unpack raises TypeError and the request surfaces as the
+    'Parsing error: cannot unpack non-iterable NoneType object'
+    envelope — never the clean cannot-extract message."""
+    import pytest
+
+    for q in ("get me the", "the", "   ", "of in on"):
+        with pytest.raises(TypeError, match="cannot unpack non-iterable"):
+            parse_query(q)
+
+    # entity present, attributes empty → the CLEAN branch
+    parsed = parse_query("get the book")
+    assert parsed.entity == "book" and parsed.attributes == []
 
 
 def test_nouns():
