@@ -127,7 +127,7 @@ def q_boilerplate_strip(spark, sf_dir):
 SELECT CAST(doc_id AS VARCHAR) AS conv_id,
        'Doc ' || doc_id || ', recovered from a content stream'
          AS pdf_text,
-       true AS pdf_ok
+       1 AS pdf_ok
 FROM documents
 """)
 def q_pdf_extract(spark, sf_dir):
@@ -147,8 +147,12 @@ def q_pdf_extract(spark, sf_dir):
         F.col("doc_id").cast("string").alias("conv_id"),
         F.lit(0).alias("turn_idx"), F.lit("tool").alias("role"),
         pdf.alias("payload"))
+    # booleans → int for the cross-engine hash (stringification of
+    # bool columns is the one canonicalization this repo can't pin on
+    # the driver's side)
     return (parse_pdf_turns(docs)
-            .select("conv_id", "pdf_text", "pdf_ok"))
+            .select("conv_id", "pdf_text",
+                    F.col("pdf_ok").cast("int").alias("pdf_ok")))
 
 
 @register("semantic_extract_family", """
@@ -791,11 +795,11 @@ SELECT doc_id,
        FLOOR(10000.0 * len(list_filter({_DUCK_TOKS},
                 x -> x IN ({_C4_STOP_SQL})))
              / GREATEST(len({_DUCK_TOKS}), 1)) / 10000 AS stopword_ratio,
-       (len(list_filter({_DUCK_TOKS}, x -> x IN ({_C4_STOP_SQL})))
+       CAST((len(list_filter({_DUCK_TOKS}, x -> x IN ({_C4_STOP_SQL})))
           >= 0.02 * len({_DUCK_TOKS}))
        AND (length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
           <= 0.2 * GREATEST(length(text), 1))
-       AND len({_DUCK_TOKS}) BETWEEN 10 AND 100000 AS keep
+       AND len({_DUCK_TOKS}) BETWEEN 10 AND 100000 AS INT) AS keep
 FROM documents
 """)
 def q_quality_signals(spark, sf_dir):
@@ -815,7 +819,7 @@ def q_quality_signals(spark, sf_dir):
         (F.floor(10000.0 * stops / F.greatest(ntok, F.lit(1))) / 10000)
         .alias("stopword_ratio"),
         ((stops >= 0.02 * ntok) & (punct <= 0.2 * total)
-         & ntok.between(10, 100000)).alias("keep"))
+         & ntok.between(10, 100000)).cast("int").alias("keep"))
 
 
 # winnowing (MOSS): k-char-gram hashes, min per window of w — the
