@@ -144,25 +144,14 @@ def parse(html: str, query: str, full_ml: bool = False,
     import time
 
     start = time.time()
-    try:
-        parsed = parse_query_hybrid(query)
-    except TypeError as exc:
-        # reference quirk: entity-less queries crash the tuple unpack
-        # inside the big try (intelligent_parser.py:70,182-188) and
-        # surface as the generic parsing-error envelope
-        return {
-            "results": {},
-            "message": f"Parsing error: {exc}",
-            "metadata": {
-                "processing_time_ms": round((time.time() - start) * 1000),
-                "model_used": "custom-html-parser-v1",
-                "error": True,
-            },
-        }
 
     if full_ml and ml_model is not None:
+        # the reference's ML path never runs the rule parser
+        # (intelligent_parser.py:104-131), so entity-less queries do
+        # NOT hit the bare-None unpack crash here
         from engine import ml as _ml
 
+        parsed = ParsedQuery()
         entity, attributes = _ml.ml_parse_query(query, ml_model)
         if not entity and not attributes:
             extraction = TurnExtraction(
@@ -177,6 +166,23 @@ def parse(html: str, query: str, full_ml: bool = False,
             parsed = ParsedQuery(entity=entity, attributes=attributes,
                                  method="ml")
     else:
+        try:
+            parsed = parse_query_hybrid(query)
+        except TypeError as exc:
+            # reference quirk: entity-less queries crash the tuple
+            # unpack inside the big try (intelligent_parser.py:70,
+            # 139,182-188) and surface as the generic parsing-error
+            # envelope
+            return {
+                "results": {},
+                "message": f"Parsing error: {exc}",
+                "metadata": {
+                    "processing_time_ms": round(
+                        (time.time() - start) * 1000),
+                    "model_used": "custom-html-parser-v1",
+                    "error": True,
+                },
+            }
         extraction = extract_turn(html, parsed, matcher=matcher)
 
     processing_ms = round((time.time() - start) * 1000)
