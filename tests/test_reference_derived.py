@@ -180,6 +180,60 @@ def test_books_group_selection_at_catalogue_scale():
     assert resp["metadata"]["approaches_used"]["html_parsing"] == "general"
 
 
+def test_two_clubs_image_link_ladder_and_group_quirk():
+    """two-clubs.html (161 KB WordPress page) with 'Extract club name,
+    image and link' — the image/link ladder through group replay:
+
+    group sizes: the merged 'sub-menu' li group is LARGEST (30 li
+    across several uls — html_utils merges list groups by the ul's
+    class, :47-56).  Its first li holds a nav <a>, so _find_url
+    scores 'link' (found 1 of 3 ≥ max(1, 3//2) → qualifies) at
+    confidence 1/3; the 25-strong ghostkit-col group then wins the
+    confidence branch at 2/3 (image 1.0 via first <img> src
+    general_parser.py:513-535, link 1.0 via first <a> href :537-557,
+    name None — R2: no class/id/name/data match); the equally-sized,
+    equally-confident ghostkit-col-CONTENT group finally steals the
+    win via the stale-count quirk (R5).  25 records; record 0 carries
+    the explicit name: None, replays carry only the path-chained
+    image+link (R6)."""
+    resp = _parse("two-clubs.html", "Extract club name, image and link")
+    clubs = resp["results"]["clubs"]
+    assert resp["message"] == "Found 25 clubs on this page"
+    assert clubs[0] == {
+        "name": None,
+        "image": "https://www.azsoccerassociation.org/wp-content/uploads/"
+                 "sites/186/2023/09/1.png?w=500",
+        "link": "https://www.azsocceracademy.com/",
+    }
+    assert clubs[1] == {
+        "image": "https://www.azsoccerassociation.org/wp-content/uploads/"
+                 "sites/186/2023/09/2.png?w=500",
+        "link": "https://www.azstormfc.com/",
+    }
+    assert all(set(c) == {"image", "link"} for c in clubs[1:])
+    # every record resolved both media attributes through the replay
+    assert all(c["image"] and c["link"] for c in clubs[1:])
+
+
+def test_two_clubs_two_attr_query_winner_shifts_with_quirk():
+    """Same page, 'Extract club name and link' (2 attrs): now the
+    sub-menu group QUALIFIES first at confidence 0.5 and wins the
+    confidence branch; ghostkit-col ties at 0.5 and takes the win via
+    count > stale 0 (R5); ghostkit-col-content ties on count=1 AND
+    container count (25 = 25) → no second switch
+    (general_parser.py:175-178).  Output: the same 25 club links —
+    NOT the 30 nav links the naive 'biggest group wins' reading would
+    predict."""
+    resp = _parse("two-clubs.html", "Extract club name and link")
+    clubs = resp["results"]["clubs"]
+    assert resp["message"] == "Found 25 clubs on this page"
+    assert clubs[0] == {"name": None,
+                        "link": "https://www.azsocceracademy.com/"}
+    assert all(set(c) == {"link"} for c in clubs[1:])
+    assert not any("azsoccerassociation.org" in (c.get("link") or "")
+                   and "#" in (c.get("link") or "") for c in clubs)
+
+
 def test_raw_json_file_is_not_a_json_script():
     """application-ldjson.json is RAW JSON — no <script> tag, so the
     JSON-script strategy does not detect it (json_script_parser.py:
