@@ -124,6 +124,7 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
         "dedup_simhash", "simhash_hamming_candidates",
         "dedup_embedding_cosine", "ann_cosine_topk", "ann_lsh_top1",
+        "ann_ivf_topk", "winnowing_overlap",
         "sessionize", "group_winner_rank", "turn_order_window",
         "quality_score", "token_count", "boilerplate_strip", "pdf_extract"]
     # Steady-state methodology (round 3): each analytics query first
