@@ -238,6 +238,7 @@ def extract_turns(df: DataFrame, query: str,
 def extract_turns_multi(df: DataFrame, queries: dict,
                         similarity_threshold: float = C.SIMILARITY_THRESHOLD,
                         matcher_factory=None,
+                        jvm_prose_fast_path: bool = True,
                         salt_partitions: Optional[int] = None,
                         salt_block: int = 256) -> DataFrame:
     """Run MANY queries over the corpus in ONE pass.
@@ -247,7 +248,17 @@ def extract_turns_multi(df: DataFrame, queries: dict,
     ladder then runs over the shared tree — at 100 TB this replaces N
     scans + N parses with one of each.  Output: one row per
     (turn, query_id), schema = results schema + leading ``query_id``.
+
+    ``jvm_prose_fast_path`` (default on — VERDICT r2 item 4 closed the
+    gap with single-query mode): rows with no markup at all and
+    queries that cannot extract (parse-error / bad-query) never cross
+    the Arrow boundary.  Their envelopes are CONSTANT per query, so
+    they are stamped JVM-side by exploding a literal per-query struct
+    array over the row set — the Python kernel only ever sees
+    (markup row × extractable query), which at transcript scale is
+    the small minority of the (turn × query) grid.
     """
+    from pyspark.sql import functions as F
     from pyspark.sql.types import StringType, StructField, StructType
 
     from engine import dom
@@ -262,65 +273,139 @@ def extract_turns_multi(df: DataFrame, queries: dict,
 
     schema = StructType([StructField("query_id", StringType(), False)]
                         + RESULTS_SCHEMA.fields)
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        matcher = matcher_factory() if matcher_factory is not None else None
-        for batch in batches:
-            rows = {name: [] for name in
-                    ("query_id", "conv_id", "turn_idx", "role", "entity",
-                     "results", "n_results", "message", "strategy",
-                     "status", "error", "text_nbytes")}
-            texts = batch["text"]
-            for i in range(len(batch)):
-                text = texts.iat[i] or ""
-                nbytes = len(text.encode("utf-8", errors="ignore"))
-                markup = "<" in text or "&" in text
-                root = None
-                if markup:
-                    try:
-                        root = dom.parse_html(text)
-                    except Exception:
-                        root = None
-                for qid, parsed, q_parse_error in parsed_queries:
-                    if q_parse_error is not None:
-                        t = {"entity": None, "results": [], "n_results": 0,
-                             "message": q_parse_error, "strategy": "none",
-                             "status": "parse_error",
-                             "error": q_parse_error}
-                    elif not parsed.entity or not parsed.attributes:
-                        t = {"entity": parsed.entity, "results": [],
-                             "n_results": 0,
-                             "message": "Could not extract entity and "
-                                        "attributes from query",
-                             "strategy": "none", "status": "bad_query",
-                             "error": None}
-                    elif root is None:
-                        t = _no_markup_fast_path(parsed.entity)
-                    else:
-                        te = extract_from_root(root, parsed,
-                                               similarity_threshold, matcher)
-                        t = {"entity": te.entity,
-                             "results": _stringify_results(te.results),
-                             "n_results": te.n_results,
-                             "message": te.message, "strategy": te.strategy,
-                             "status": te.status, "error": te.error}
-                    rows["query_id"].append(qid)
-                    rows["conv_id"].append(batch["conv_id"].iat[i])
-                    rows["turn_idx"].append(batch["turn_idx"].iat[i])
-                    rows["role"].append(batch["role"].iat[i])
-                    rows["text_nbytes"].append(nbytes)
-                    for k in ("entity", "results", "n_results", "message",
-                              "strategy", "status", "error"):
-                        rows[k].append(t[k])
-            out = pd.DataFrame(rows)
-            out["n_results"] = out["n_results"].astype("int32")
-            out["text_nbytes"] = out["text_nbytes"].astype("int64")
-            yield out
-
+    results_type = schema["results"].dataType
     pruned = df.select("conv_id", "turn_idx", "role", "text")
-    if salt_partitions:
-        from pyspark.sql import functions as F
-        pruned = pruned.repartition(
-            salt_partitions, "conv_id",
-            (F.col("turn_idx") / F.lit(salt_block)).cast("int"))
-    return pruned.mapInPandas(run, schema=schema)
+
+    def make_run(qlist):
+        """Arrow kernel over the (row × query) grid for ``qlist``
+        (triples of (qid, parsed, parse_error))."""
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            matcher = matcher_factory() if matcher_factory is not None \
+                else None
+            for batch in batches:
+                rows = {name: [] for name in
+                        ("query_id", "conv_id", "turn_idx", "role", "entity",
+                         "results", "n_results", "message", "strategy",
+                         "status", "error", "text_nbytes")}
+                texts = batch["text"]
+                for i in range(len(batch)):
+                    text = texts.iat[i] or ""
+                    nbytes = len(text.encode("utf-8", errors="ignore"))
+                    markup = "<" in text or "&" in text
+                    root = None
+                    if markup:
+                        try:
+                            root = dom.parse_html(text)
+                        except Exception:
+                            root = None
+                    for qid, parsed, q_parse_error in qlist:
+                        if q_parse_error is not None:
+                            t = {"entity": None, "results": [],
+                                 "n_results": 0,
+                                 "message": q_parse_error,
+                                 "strategy": "none",
+                                 "status": "parse_error",
+                                 "error": q_parse_error}
+                        elif not parsed.entity or not parsed.attributes:
+                            t = {"entity": parsed.entity, "results": [],
+                                 "n_results": 0,
+                                 "message": "Could not extract entity and "
+                                            "attributes from query",
+                                 "strategy": "none", "status": "bad_query",
+                                 "error": None}
+                        elif root is None:
+                            t = _no_markup_fast_path(parsed.entity)
+                        else:
+                            te = extract_from_root(root, parsed,
+                                                   similarity_threshold,
+                                                   matcher)
+                            t = {"entity": te.entity,
+                                 "results": _stringify_results(te.results),
+                                 "n_results": te.n_results,
+                                 "message": te.message,
+                                 "strategy": te.strategy,
+                                 "status": te.status, "error": te.error}
+                        rows["query_id"].append(qid)
+                        rows["conv_id"].append(batch["conv_id"].iat[i])
+                        rows["turn_idx"].append(batch["turn_idx"].iat[i])
+                        rows["role"].append(batch["role"].iat[i])
+                        rows["text_nbytes"].append(nbytes)
+                        for k in ("entity", "results", "n_results", "message",
+                                  "strategy", "status", "error"):
+                            rows[k].append(t[k])
+                out = pd.DataFrame(rows)
+                out["n_results"] = out["n_results"].astype("int32")
+                out["text_nbytes"] = out["text_nbytes"].astype("int64")
+                yield out
+        return run
+
+    def _salt(d: DataFrame) -> DataFrame:
+        if salt_partitions:
+            return d.repartition(
+                salt_partitions, "conv_id",
+                (F.col("turn_idx") / F.lit(salt_block)).cast("int"))
+        return d
+
+    if not jvm_prose_fast_path:
+        return _salt(pruned).mapInPandas(make_run(parsed_queries),
+                                         schema=schema)
+
+    good = [(qid, parsed, None) for qid, parsed, err in parsed_queries
+            if err is None and parsed.entity and parsed.attributes]
+    bad_entries = []
+    for qid, parsed, err in parsed_queries:
+        if err is not None:
+            bad_entries.append((qid, None, err, "none", "parse_error", err))
+        elif not parsed.entity or not parsed.attributes:
+            bad_entries.append((qid, parsed.entity,
+                                "Could not extract entity and attributes "
+                                "from query", "none", "bad_query", None))
+    prose_entries = [
+        (qid, parsed.entity, f"Found 0 {parsed.entity} on this page",
+         "general", "no_results", None)
+        for qid, parsed, _ in good]
+
+    def _const_rows(rows: DataFrame, entries) -> DataFrame:
+        """Stamp one constant envelope per (row, entry) JVM-side: a
+        literal struct array exploded over the row set — codegen'd
+        projection, no Python, no shuffle."""
+        arr = F.array(*[F.struct(
+            F.lit(qid).alias("query_id"),
+            F.lit(entity).cast("string").alias("entity"),
+            F.lit(message).cast("string").alias("message"),
+            F.lit(strategy).alias("strategy"),
+            F.lit(status).alias("status"),
+            F.lit(error).cast("string").alias("error"))
+            for (qid, entity, message, strategy, status, error) in entries])
+        return (rows.select(
+            "conv_id", "turn_idx", "role",
+            F.coalesce(F.octet_length("text"), F.lit(0)).cast("long")
+             .alias("text_nbytes"),
+            F.explode(arr).alias("q"))
+            .select(F.col("q.query_id").alias("query_id"),
+                    "conv_id", "turn_idx", "role",
+                    F.col("q.entity").alias("entity"),
+                    F.expr("array()").cast(results_type).alias("results"),
+                    F.lit(0).cast("int").alias("n_results"),
+                    F.col("q.message").alias("message"),
+                    F.col("q.strategy").alias("strategy"),
+                    F.col("q.status").alias("status"),
+                    F.col("q.error").alias("error"),
+                    "text_nbytes"))
+
+    is_markup = (F.col("text").isNotNull()
+                 & (F.col("text").contains("<")
+                    | F.col("text").contains("&")))
+    parts = []
+    if good:
+        parts.append(_salt(pruned.filter(is_markup))
+                     .mapInPandas(make_run(good), schema=schema))
+        parts.append(_const_rows(pruned.filter(~is_markup), prose_entries))
+    if bad_entries:
+        parts.append(_const_rows(pruned, bad_entries))
+    if not parts:
+        return df.sparkSession.createDataFrame([], schema)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

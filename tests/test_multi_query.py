@@ -133,3 +133,65 @@ def test_multi_query_id_column_first(spark):
     df = synth_transcripts(spark, n_conversations=3, turns_per_conv=3)
     multi = extract_turns_multi(df, {"a": CANONICAL_QUERY})
     assert multi.columns[0] == "query_id"
+
+
+def test_multi_fast_path_equivalent_and_jvm_side(spark):
+    """The multi-query JVM prose fast path (VERDICT r2 item 4) must be
+    output-equivalent to the all-Python kernel path, and its plan must
+    show prose rows never cross Arrow: exactly ONE MapInPandas node,
+    gated by the markup filter."""
+    from engine.extract import extract_turns_multi
+    from engine.synth import synth_transcripts
+
+    df = synth_transcripts(spark, n_conversations=12, turns_per_conv=6)
+    qs = {
+        "good": "Can you give me the book: name and price?",
+        "bad": "books",                       # entity, no attributes
+        "crash": "give me"                    # entity-less parse crash
+    }
+
+    def canon(d):
+        return sorted(
+            (r["query_id"], r["conv_id"], r["turn_idx"], r["role"],
+             r["entity"], tuple(map(str, r["results"])), r["n_results"],
+             r["message"], r["strategy"], r["status"], r["error"],
+             r["text_nbytes"])
+            for r in d.collect())
+
+    fast = extract_turns_multi(df, qs, jvm_prose_fast_path=True)
+    slow = extract_turns_multi(df, qs, jvm_prose_fast_path=False)
+    assert canon(fast) == canon(slow)
+
+    # after collect AQE prints final + initial sections; inspect the
+    # final one only
+    plan = (fast._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0])
+    assert plan.count("MapInPandas") == 1
+    # the Python kernel's input subtree is the markup-filtered branch
+    kernel_subtree = plan.split("MapInPandas", 1)[1]
+    assert "Filter" in kernel_subtree
+
+
+def test_multi_fast_path_null_text_and_all_bad_queries(spark):
+    from engine.extract import extract_turns_multi
+
+    df = spark.createDataFrame(
+        [("c", 0, "assistant", None), ("c", 1, "user", "plain prose"),
+         ("c", 2, "assistant", "<p>markup</p>")],
+        "conv_id string, turn_idx int, role string, text string")
+    qs = {"good": "Can you give me the book: name and price?",
+          "crash": "give me"}
+    rows = {(r["query_id"], r["turn_idx"]): r
+            for r in extract_turns_multi(df, qs).collect()}
+    assert len(rows) == 6  # exactly once per (turn, query)
+    assert rows[("good", 0)]["status"] == "no_results"
+    assert rows[("good", 0)]["text_nbytes"] == 0
+    assert rows[("crash", 2)]["status"] == "parse_error"
+    assert "cannot unpack non-iterable NoneType" in \
+        rows[("crash", 1)]["message"]
+
+    # no extractable query at all -> zero Python, constant envelopes
+    only_bad = extract_turns_multi(df, {"crash": "give me"})
+    plan = only_bad._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan
+    assert only_bad.count() == 3
