@@ -125,3 +125,53 @@ def test_boilerplate_strip_composes_with_streaming(spark, tmp_path):
     json_rows = [r for r in rows if '"book"' not in r.main_text
                  and r.winner_tag == "[document]"]
     assert json_rows, "ld+json script text must not leak into main_text"
+
+
+def test_stream_extract_exactly_once_after_midstream_crash(spark, tmp_path):
+    """Kill the stream AFTER a micro-batch's output is written but
+    BEFORE its commit (the streaming analogue of the batch pipeline's
+    duplicate-risk window), restart against the same checkpoint, and
+    prove the (conv, turn) grain stays exactly-once: Spark replays the
+    uncommitted batch with the SAME batch_id, and the idempotent
+    per-batch overwrite (the canonical foreachBatch pattern) absorbs
+    the replay."""
+    from engine.extract import extract_turns
+    from engine.streaming import read_transcript_stream
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+    for i in range(4):
+        _write_batch(spark, inp, 3, offset=i)  # 4 appends × 2 files each
+
+    def run(bomb_after):
+        stream = read_transcript_stream(spark, inp, max_files_per_trigger=2)
+        extracted = extract_turns(stream, CANONICAL_QUERY,
+                                  jvm_prose_fast_path=False)
+
+        def sink(batch_df, batch_id):
+            (batch_df.write.mode("overwrite")
+             .parquet(f"{out}/batch={batch_id}"))
+            if bomb_after is not None and batch_id >= bomb_after:
+                raise RuntimeError("simulated failure after write, "
+                                   "before commit")
+
+        q = (extracted.writeStream.foreachBatch(sink)
+             .option("checkpointLocation", cp)
+             .trigger(availableNow=True).start())
+        try:
+            q.awaitTermination(120)
+            return None
+        except Exception as exc:  # StreamingQueryException wraps the bomb
+            return exc
+
+    err = run(bomb_after=1)
+    assert err is not None and "simulated failure" in str(err)
+    partial = spark.read.parquet(out)
+    assert 0 < partial.count() < 72  # some but not all landed
+
+    assert run(bomb_after=None) is None  # resume drains the rest
+    final = spark.read.parquet(out)
+    assert final.count() == 72  # 4 appends × 3 convs × 6 turns
+    assert final.select("conv_id", "turn_idx").distinct().count() == 72
+    assert final.filter(F.col("status") == "parse_error").count() == 0
