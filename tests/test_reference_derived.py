@@ -245,3 +245,132 @@ def test_raw_json_file_is_not_a_json_script():
     assert resp["results"] == {"properties": []}
     assert resp["message"] == "Found 0 property on this page"
     assert resp["metadata"]["approaches_used"]["html_parsing"] == "general"
+
+
+# The 20 jobs.html records, derived independently of the engine with
+# scripts/derive_reference_general.py (a third, stdlib-only
+# implementation of the reference rules written from its source) and
+# spot-verified by hand against the fixture bytes: title = text of
+# <a class="JobCard_title__jdBTC"> (its <h2> is unwrapped per R1),
+# location = text of <span data-testid="job-location-city"> — the DFS
+# reaches it BEFORE the enclosing div[data-testid="Location"] because
+# recursion into container children precedes the self-attr check
+# (general_parser.py:562-567), and its text keeps the trailing comma
+# ("Taree<!-- -->," → "Taree,": comments are not text) — and salary =
+# text of div[data-testid="Salary"] ("$3,000 per day": here the inner
+# span has no matching attrs, so the div's own data-testid match fires
+# on the way out).
+_JOBS_EXPECTED = [
+    {"company name": None, "location": "Taree,",
+     "salary": "$3,000 per day", "title": "Emergency Medicine (ED)"},
+    {"location": "Inverell,", "salary": "$1,900 per day",
+     "title": "GP - Urgent Care / Minor Injury & Illness"},
+    {"location": "Windsor,", "salary": "$180 per hour",
+     "title": "General Medicine / Physician"},
+    {"location": "Windsor,", "salary": "$180 per hour",
+     "title": "General Medicine / Physician"},
+    {"location": "Windsor,", "salary": "$180 per hour",
+     "title": "General Medicine / Physician"},
+    {"location": "Matiland,", "salary": "$2,000 per day",
+     "title": "Palliative Medicine"},
+    {"location": "North Tamworth,", "salary": "$3,000 per day",
+     "title": "Anaesthetics"},
+    {"location": "Windsor,", "salary": "$180 per hour",
+     "title": "General Medicine / Physician"},
+    {"location": "Windsor,", "salary": "$180 per hour",
+     "title": "General Medicine / Physician"},
+    {"location": "North Tamworth,", "salary": "$250 per hour",
+     "title": "Medical Oncology"},
+    {"location": "Windsor,", "salary": "$180 per hour",
+     "title": "General Medicine / Physician"},
+    {"location": "North Tamworth,", "salary": "$200 per hour",
+     "title": "Intensive Care Medicine"},
+    {"location": "North Tamworth,", "salary": "$3,250 per day",
+     "title": "Obstetrics and Gynaecology"},
+    {"location": "Windsor,", "salary": "$160 per hour",
+     "title": "General Medicine / Physician"},
+    {"location": "Windsor,", "salary": "$180 per hour",
+     "title": "General Medicine / Physician"},
+    {"location": "North Tamworth,", "salary": "$3,500 per day",
+     "title": "Obstetrics and Gynaecology"},
+    {"location": "Windsor,", "salary": "$180 per hour",
+     "title": "General Medicine / Physician"},
+    {"location": "Lismore,", "salary": "$145 per hour",
+     "title": "Surgery - Orthopaedic"},
+    {"location": "Campbelltown,", "salary": "$115 per hour",
+     "title": "Surgery"},
+    {"location": "Wellington,", "salary": "$3,500 per day",
+     "title": "General Practice (GP)"},
+]
+
+
+def test_jobs_full_trace_json_gate_and_group_selection():
+    """jobs.html (614 KB MUI job board), 'Extract job title, location,
+    salary, and company name from the listings' — the largest fixture,
+    derived end-to-end (VERDICT r2 item 3):
+
+    JSON gate: the page's ONE qualifying script (__NEXT_DATA__, which
+    also carries type=application/json so it is collected once,
+    json_script_parser.py:72-103) flattens to 819 keys whose job rows
+    live under ``data[i].*`` — the six regex patterns require the
+    ARRAY TO BE NAMED after the entity ('job[i].attr', 'jobs[i].attr',
+    '.jobs[i].attr', …; json_script_parser.py:334-351), and salary
+    exists only as salaryFrom/salaryTo, so ZERO patterns match, the
+    regex result set is empty, and the ≥⅔ sufficiency gate
+    (intelligent_parser.py:74-87) falls through to HTML.  No <table>
+    on the page → general.
+
+    Group selection (R4/R5): 39 class groups; sizes 80 (icon/text
+    list-item leaves), 68, 40, then the size-20 card anatomy.  Groups
+    are evaluated div-classes first (html_utils.py:27-44 iterates
+    ['div','span','article','section']), so the <article
+    class="JobCard_container__6A1E7"> group is evaluated LAST among
+    the size-20 groups even though it is the semantic card.  First
+    qualifier is the row-2 grid div ('MuiGrid-root MuiGrid-container',
+    found 3/4: title, location, salary → confidence 0.75) which wins
+    the confidence branch WITHOUT updating highest_count; the grid
+    ITEM inside it ('MuiGrid-root MuiGrid-item MuiGrid-grid-xs-12 …',
+    also 3/4 = 0.75) then steals the win via count 3 > stale 0 — the
+    same quirk two-clubs pins (general_parser.py:164-178).
+    JobCard_container ties afterwards on confidence AND count and
+    its 20 containers are not strictly more than 20 → no third switch.
+
+    Records (R6): record 0 carries explicit company-name None; records
+    1-19 replay the three path chains per card."""
+    resp = _parse("jobs.html", "Extract job title, location, salary, "
+                               "and company name from the listings")
+    assert resp["message"] == "Found 20 jobs on this page"
+    assert resp["metadata"]["approaches_used"]["html_parsing"] == "general"
+    assert resp["results"]["jobs"] == _JOBS_EXPECTED
+
+
+def test_property_next_data_rejected_and_no_exact_match_anywhere():
+    """property.html (480 KB Next.js detail page), 'Get the property
+    name, price, and address' — the all-negative trace (VERDICT r2
+    item 3):
+
+    JSON gate: __NEXT_DATA__ flattens to 1,248 keys after the
+    recursive ≥50% common-prefix strip (json_script_parser.py:196-264).
+    The only ``.name`` tails are ``amenities[i].name`` /
+    ``amenities[i].amenity.amenityGroup.name`` — the entity array is
+    named 'amenities', not 'property'/'properties', so patterns 2-6
+    cannot match, and no bare 'name' key survives for pattern 1;
+    'price' and 'address' appear in NO key at all.  Zero records →
+    the sufficiency gate falls through.
+
+    HTML: no <table>.  General: the page is emotion/styled-css — of
+    its 551 distinct class/id/name/data-* tokens, exactly ONE matches
+    any query attribute in either substring direction: an enquiry-form
+    ``<input name="name" value="">``, and for inputs the reference
+    takes the ``value`` attribute as text (general_parser.py:830-831),
+    which is empty → falsy → rejected (``if text:``,
+    general_parser.py:572-574).  So every repeated-structure group
+    extracts 0 attributes (no group reaches the 0.4 gate) and every
+    likely container extracts 0 (best_attributes_found == 0 →
+    ``[]``, general_parser.py:262-265) → the empty general
+    envelope."""
+    resp = _parse("property.html", "Get the property name, price, "
+                                   "and address")
+    assert resp["results"] == {"properties": []}
+    assert resp["message"] == "Found 0 property on this page"
+    assert resp["metadata"]["approaches_used"]["html_parsing"] == "general"
