@@ -904,6 +904,127 @@ def q_quality_signals(spark, sf_dir):
          & ntok.between(10, 100000)).cast("int").alias("keep"))
 
 
+# PII scrub: redaction regexes restricted to the syntax subset that
+# behaves identically under Java regex (Spark) and RE2 (DuckDB) —
+# character classes, bounded/unbounded greedy quantifiers, no
+# backreferences or lookaround.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+[0-9][0-9() -]{7,}[0-9]"
+
+_DUCK_PII = f"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN
+           text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.com or call +1 555 0'
+                || CAST(100 + doc_id % 900 AS VARCHAR) || ' now.'
+         ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT)
+         AS n_phones,
+       md5(regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '[EMAIL]',
+                                         'g'),
+                          '{_PII_PHONE}', '[PHONE]', 'g')) AS scrubbed_md5
+FROM t
+"""
+
+
+@register("pii_scrub", _DUCK_PII)
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction pass (training-data hygiene): count and redact
+    email addresses and international-format phone numbers.  Every 5th
+    document carries a planted email + phone (deterministic, mirrored
+    in the oracle), so the scrub has to FIND them, and the md5 of the
+    fully-scrubbed text pins byte-exact redaction across engines.
+    Pure projection — shuffle-free, scale-free; the regex subset is
+    chosen to evaluate identically under Java regex and RE2."""
+    docs = _t(spark, sf_dir, "documents")
+    plant = F.expr(
+        "CASE WHEN doc_id % 5 = 0 THEN "
+        "concat(text, ' Contact user', CAST(doc_id AS STRING), "
+        "'@example.com or call +1 555 0', "
+        "CAST(100 + doc_id % 900 AS STRING), ' now.') "
+        "ELSE text END")
+    t = docs.select("doc_id", plant.alias("text"))
+    scrubbed = F.md5(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _PII_EMAIL, "[EMAIL]"),
+            _PII_PHONE, "[PHONE]").cast("binary"))
+    # patterns go through the function API (not F.expr) so the SQL
+    # string-literal escape pass never rewrites the regex backslashes
+    return t.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_PII_EMAIL),
+                                    F.lit(0)))
+         .cast("bigint").alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_PII_PHONE),
+                                    F.lit(0)))
+         .cast("bigint").alias("n_phones"),
+        scrubbed.alias("scrubbed_md5"))
+
+
+_DUCK_CLEANING_PASS = f"""
+WITH sig AS (
+  SELECT doc_id, md5(text) AS content_hash,
+         len({_DUCK_TOKS}) AS n_tokens,
+         {_lang_counts_sql(_DUCK_TOKS, 'list_filter', 'len')},
+         (len(list_filter({_DUCK_TOKS}, x -> x IN ({_C4_STOP_SQL})))
+            >= 0.02 * len({_DUCK_TOKS}))
+         AND (length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+            <= 0.2 * GREATEST(length(text), 1))
+         AND len({_DUCK_TOKS}) BETWEEN 10 AND 100000 AS keep
+  FROM documents
+), kept AS (
+  SELECT * FROM sig
+  WHERE keep AND n_en >= n_es AND n_en >= n_fr
+)
+SELECT content_hash, MIN(doc_id) AS keeper_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies,
+       MIN(n_tokens) AS n_tokens
+FROM kept GROUP BY content_hash
+"""
+
+
+@register("cleaning_pass", _DUCK_CLEANING_PASS)
+def q_cleaning_pass(spark, sf_dir):
+    """FUSED cleaning pipeline — the single-pass composition a 100-TB
+    cleaning job actually runs: language-ID gate (keep English by the
+    stopword vote) ∘ C4 quality gate (stopword/punctuation/length) ∘
+    exact dedup (hash-groupBy, min-id keeper), emitting the surviving
+    corpus manifest.  All per-document signals are computed in ONE
+    projection over ONE scan (Catalyst fuses the three gates into the
+    scan's filter), and the only shuffle is the dedup groupBy — the
+    composed plan costs the same as dedup alone, which is the point of
+    declaring gates as expressions instead of separate passes."""
+    docs = _t(spark, sf_dir, "documents")
+    stops = F.expr(f"size(filter({_SPARK_TOKS}, x -> x IN ({_C4_STOP_SQL})))")
+    punct = F.expr("length(regexp_replace(text, '[^.,;:!?]', ''))")
+    total = F.expr("greatest(length(text), 1)")
+    ntok = F.expr(f"size({_SPARK_TOKS})")
+    lang_hits = {
+        lang: F.expr(f"size(filter({_SPARK_TOKS}, x -> x IN "
+                     f"({', '.join(repr(w) for w in words)})))")
+        for lang, words in _LANG_SETS.items()}
+    keep = ((stops >= 0.02 * ntok) & (punct <= 0.2 * total)
+            & ntok.between(10, 100000))
+    is_en = ((lang_hits["en"] >= lang_hits["es"])
+             & (lang_hits["en"] >= lang_hits["fr"]))
+    kept = (docs.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("content_hash"),
+        ntok.cast("long").alias("n_tokens"),
+        keep.alias("keep"), is_en.alias("is_en"))
+        .filter(F.col("keep") & F.col("is_en")))
+    return (kept.groupBy("content_hash")
+            .agg(F.min("doc_id").alias("keeper_doc_id"),
+                 F.count("*").alias("n_copies"),
+                 F.min("n_tokens").alias("n_tokens")))
+
+
 # winnowing (MOSS): k-char-gram hashes, min per window of w — the
 # rolling-hash fingerprint family; any shared substring of length
 # ≥ w + k - 1 between two documents shares a fingerprint

@@ -374,3 +374,22 @@ def test_property_next_data_rejected_and_no_exact_match_anywhere():
     assert resp["results"] == {"properties": []}
     assert resp["message"] == "Found 0 property on this page"
     assert resp["metadata"]["approaches_used"]["html_parsing"] == "general"
+
+
+def test_properties_listing_page_same_negative_shape():
+    """properties.html (371 KB listing page) — with this, all three of
+    the largest fixture families are independently derived.  Same
+    all-negative trace as property.html, re-derived from ITS bytes:
+    __NEXT_DATA__ flattens to 1,248 keys whose only ``.name`` tails
+    sit under ``amenities[i]`` (no 'property'/'properties' array name
+    for patterns 2-6, no bare 'name' for pattern 1) and which contain
+    NO 'price'/'address' key at all → JSON gate falls through; no
+    <table>; of 672 distinct class/id/name/data-* tokens exactly one
+    matches any query attribute — an ``<input name="name" value="">``
+    whose input-value text rule yields '' → rejected — so 47 repeated
+    groups and every likely container extract zero attributes."""
+    resp = _parse("properties.html", "Get the property name, price, "
+                                     "and address")
+    assert resp["results"] == {"properties": []}
+    assert resp["message"] == "Found 0 property on this page"
+    assert resp["metadata"]["approaches_used"]["html_parsing"] == "general"
