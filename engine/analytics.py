@@ -1589,12 +1589,18 @@ _COS_E_QE = ("(aggregate(zip_with(e, qe, (x, y) -> x * y), 0D, "
 def _ivf_assign(emb, cent):
     """Nearest-centroid assignment: broadcast the k×dims centroid table
     (genuinely tiny — the legitimate broadcast case) against the
-    corpus, one window argmax per vector."""
-    w = Window.partitionBy("vec_id").orderBy(
-        F.round(F.expr(_COS_E_CE), 6).desc(), F.col("cell"))
+    corpus, then a PARTIAL-AGGREGABLE argmax per vector —
+    max(struct(rounded_cos, -cell)) is lexicographic, so ties resolve
+    to the smallest cell exactly like the oracle's ROW_NUMBER
+    (… ORDER BY cos DESC, cell), but the map side combines before the
+    shuffle, which a row_number window cannot (at 10^9 vectors the
+    window would sort n×k rows; this ships one struct per vector)."""
+    pick = F.max(F.struct(F.round(F.expr(_COS_E_CE), 6).alias("c"),
+                          (-F.col("cell")).alias("nc")))
     return (emb.crossJoin(F.broadcast(cent))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1).select("vec_id", "cell"))
+            .groupBy("vec_id")
+            .agg(pick.alias("m"))
+            .select("vec_id", (-F.col("m.nc")).alias("cell")))
 
 
 def _ivf_fit(emb):
@@ -1603,11 +1609,14 @@ def _ivf_fit(emb):
     4 dp each step so both engines agree bit-for-bit despite different
     float-sum orders; an emptied cell keeps its previous centroid.
 
-    Scale shape: each iteration is ONE broadcast join + ONE partial-agg
-    groupBy over (cell, dim) — the canonical distributed k-means; at
-    10^9 vectors you would .persist() emb across iterations and train
-    on a bounded sample (the fit is linear in corpus size either way).
-    Returns (cent, assign) for the final model."""
+    Scale shape: each iteration is ONE broadcast join + ONE
+    partial-agg argmax + a (cell, dim) mean whose posexplode feeds a
+    map-side-combinable groupBy — each iteration shuffles k×dims
+    partial sums, not n×dims rows (the explode itself is a narrow,
+    pipelined op); at 10^9 vectors you would .persist() emb across
+    iterations and train on a bounded sample (the fit is linear in
+    corpus size either way).  Returns (cent, assign) for the final
+    model."""
     cent = (emb.orderBy("vec_id").limit(_IVF_K)
             .select(F.col("vec_id").alias("cell"), F.col("e").alias("ce")))
     for it in range(_IVF_ITERS):

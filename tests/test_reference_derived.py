@@ -393,3 +393,33 @@ def test_properties_listing_page_same_negative_shape():
     assert resp["results"] == {"properties": []}
     assert resp["message"] == "Found 0 property on this page"
     assert resp["metadata"]["approaches_used"]["html_parsing"] == "general"
+
+
+def test_two_jobs_quirk_fires_at_catalogue_and_pair_scale():
+    """two-jobs.html (297 KB, the 2-card variant of jobs.html): the
+    same three groups qualify — row-2 grid div first (conf 0.75, wins
+    the confidence branch, highest_count stays 0), the inner grid item
+    steals via count 3 > stale 0, JobCard_container ties and loses
+    (n=2 not > 2).  The quirk selects the same anatomical level at
+    n=2 as at n=20, which is WHY jobs.html's 20 records replay
+    correctly.  Second query 'Get the job description and title':
+    description matches nothing (no class/id/data token contains it)
+    → the same groups qualify at 1/2 = conf 0.5, same winner, record 0
+    carries explicit description None (R6)."""
+    resp = _parse("two-jobs.html", "Extract job title, location, "
+                                   "salary, and company name from the "
+                                   "listings")
+    assert resp["results"]["jobs"] == [
+        {"company name": None, "location": "Taree,",
+         "salary": "$3,000 per day", "title": "Emergency Medicine (ED)"},
+        {"location": "Windsor,", "salary": "$180 per hour",
+         "title": "General Medicine / Physician"},
+    ]
+    assert resp["message"] == "Found 2 jobs on this page"
+
+    resp2 = _parse("two-jobs.html", "Get the job description and title")
+    assert resp2["results"]["jobs"] == [
+        {"description": None, "title": "Emergency Medicine (ED)"},
+        {"title": "General Medicine / Physician"},
+    ]
+    assert resp2["message"] == "Found 2 jobs on this page"
