@@ -423,3 +423,81 @@ def test_two_jobs_quirk_fires_at_catalogue_and_pair_scale():
         {"title": "General Medicine / Physician"},
     ]
     assert resp2["message"] == "Found 2 jobs on this page"
+
+
+def test_ecommerce_single_attr_early_stop():
+    """ecommerce.html, 'Get the product description' (1 attr): the
+    Bootstrap grid cell group 'col-md-4 col-xl-4 col-lg-4' (n=3)
+    qualifies with 1/1 attrs at confidence 1.0 — the ONLY fixture
+    query that takes the EARLY-STOP branch (all attributes found at
+    high confidence → break before evaluating later groups,
+    general_parser.py:154-156).  'description' exact-matches the card
+    div class 'description' inside each cell; three records, each the
+    full laptop spec text."""
+    resp = _parse("ecommerce.html", "Get the product description")
+    descs = [r["description"] for r in resp["results"]["products"]]
+    assert resp["message"] == "Found 3 products on this page"
+    assert [d.split(",")[0] for d in descs] == [
+        "Acer Aspire 3 A315-31 Black",
+        "Toshiba Portege Z30-C-16L Grey",
+        "Asus VivoBook 15 X540UA-DM260 Chocolate Black"]
+    assert all(set(r) == {"description"} for r in resp["results"]["products"])
+
+
+def test_ecommerce_three_attrs_fall_to_likely_containers():
+    """Same page, 'Get the product name, price, and description'
+    (3 attrs): every group's first container finds ONLY description
+    ('name' data lives in <a class="title" title=...> — the title=
+    VALUE is never consulted (R2) and class 'title' ⊄ 'name';
+    'price' text sits in an <h4 class="price float-end ..."> — h4 is a
+    TEXT_PROPERTY_TAG so the element is UNWRAPPED AWAY before analysis,
+    R1) → max confidence 1/3 < 0.4 gate → the repeated-structure path
+    returns nothing and the ladder falls to LIKELY CONTAINERS (G4),
+    which return ONE best record (G10): the first-in-document-order
+    container maximizes found=1 via the FIRST description in DFS
+    order, with explicit None for name and price."""
+    resp = _parse("ecommerce.html",
+                  "Get the product name, price, and description")
+    prods = resp["results"]["products"]
+    assert resp["message"] == "Found 1 product on this page"
+    assert len(prods) == 1
+    assert prods[0]["name"] is None and prods[0]["price"] is None
+    assert prods[0]["description"].startswith("Acer Aspire 3 A315-31 Black")
+
+
+def test_products_quirk_picks_page_wrapper_over_cards():
+    """products.html, 'Get the product name, price, and description':
+    the 5-card group 'row product' qualifies FIRST (price +
+    description = 2/3 ≈ 0.667, wins the confidence branch, stale
+    count 0); the 2-element 'container' group ties at 0.667 and
+    STEALS the win via count 2 > stale 0 (R5) — here the quirk
+    actively picks the page-level wrapper over the semantic card
+    group, collapsing 5 products into 1 record (only the wrapper
+    containing the cards yields values; the other 'container' is
+    empty and is dropped by the any-value filter,
+    general_parser.py:203-205).  Record: first card's price/
+    description, explicit name None."""
+    resp = _parse("products.html",
+                  "Get the product name, price, and description")
+    prods = resp["results"]["products"]
+    assert resp["message"] == "Found 1 product on this page"
+    assert prods[0]["name"] is None
+    assert prods[0]["price"] == "24.99"
+    assert prods[0]["description"].startswith("Indulge your sweet tooth")
+
+
+def test_products_two_attr_query_descends_to_description_cells():
+    """Same page, 'List product name and description' (2 attrs): 'row
+    product' qualifies first (1/2 = 0.5), then the DESCRIPTION CELL
+    group 'col-8 description' (n=5) ties at 0.5 and steals via the
+    stale-count quirk → five records, one per description cell;
+    record 0 carries explicit name None, replays are
+    description-only (R6)."""
+    resp = _parse("products.html", "List product name and description")
+    prods = resp["results"]["products"]
+    assert resp["message"] == "Found 5 products on this page"
+    assert len(prods) == 5
+    assert set(prods[0]) == {"name", "description"} and prods[0]["name"] is None
+    assert all(set(r) == {"description"} for r in prods[1:])
+    assert [r["description"].split(" ")[2] for r in prods] == [
+        "sweet", "power", "surge", "game", "gaming"]
