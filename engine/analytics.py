@@ -1603,11 +1603,18 @@ def _ivf_assign(emb, cent):
             .select("vec_id", (-F.col("m.nc")).alias("cell")))
 
 
-def _ivf_fit(emb):
+def _ivf_fit(emb, train_limit: int = 0):
     """Deterministic spherical k-means (the Spark mirror of
     _duck_ivf_ctes): _IVF_ITERS Lloyd iterations, centroids rounded to
     4 dp each step so both engines agree bit-for-bit despite different
     float-sum orders; an emptied cell keeps its previous centroid.
+
+    ``train_limit`` > 0 fits the centroids on the ``train_limit``
+    lowest-vec_id vectors only (deterministic bounded sample — the
+    standard IVF practice at 10^9 vectors, where a full-corpus fit
+    wastes 3 scans); the FINAL assignment always covers the full
+    corpus.  The oracle-checked queries use the full-corpus fit
+    (train_limit=0) so both engines run the identical algorithm.
 
     Scale shape: each iteration is ONE broadcast join + ONE
     partial-agg argmax + a (cell, dim) mean whose posexplode feeds a
@@ -1617,11 +1624,13 @@ def _ivf_fit(emb):
     iterations and train on a bounded sample (the fit is linear in
     corpus size either way).  Returns (cent, assign) for the final
     model."""
-    cent = (emb.orderBy("vec_id").limit(_IVF_K)
+    train = emb.orderBy("vec_id").limit(train_limit) if train_limit \
+        else emb
+    cent = (train.orderBy("vec_id").limit(_IVF_K)
             .select(F.col("vec_id").alias("cell"), F.col("e").alias("ce")))
     for it in range(_IVF_ITERS):
-        assign = _ivf_assign(emb, cent)
-        means = (assign.join(emb, "vec_id")
+        assign = _ivf_assign(train, cent)
+        means = (assign.join(train, "vec_id")
                  .select("cell", F.posexplode("e").alias("d", "v"))
                  .groupBy("cell", "d")
                  .agg(F.round(F.avg("v"), 4).alias("mu"))

@@ -76,3 +76,25 @@ def test_ivf_kmeans_beats_untrained_seeding(spark):
     assert sum(sizes) == 500
     assert len(sizes) >= 8          # most cells survive training
     assert max(sizes) < 250         # no degenerate mega-cell
+
+
+def test_ivf_sampled_fit_still_recalls_plants(spark):
+    """The 10^9-vector path: fit the k-means on a bounded
+    deterministic sample (train_limit), assign/search the FULL corpus.
+    Plants must still co-locate with their sources."""
+    from pyspark.sql import functions as F
+
+    from engine.analytics import (_ivf_assign, _ivf_fit,
+                                  _planted_embeddings)
+
+    emb = _planted_embeddings(spark, SF)
+    cent, _ = _ivf_fit(emb, train_limit=200)
+    assign = _ivf_assign(emb, cent)
+    a = assign.alias("a")
+    b = (assign.withColumn("vec_id", F.col("vec_id") + 1000000)
+         .withColumnRenamed("cell", "plant_cell").alias("b"))
+    pairs = a.join(b, "vec_id")  # rows where a plant exists
+    split = pairs.filter(F.col("cell") != F.col("plant_cell")).count()
+    total = pairs.count()
+    assert total == 50
+    assert split == 0, "sampled-fit cells separated a planted pair"
