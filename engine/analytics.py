@@ -307,7 +307,11 @@ _BANDS = 8  # rows-per-band = 2
 
 _MH_COEFFS = [_mh_coeffs(k) for k in range(_MINHASH_K)]
 
-_DUCK_MINHASH = f"""
+
+def _duck_minhash_sql(extra_pred: str = "") -> str:
+    """The shared MinHash-LSH oracle body; ``extra_pred`` narrows the
+    candidate pairs (used by the incremental variant)."""
+    return f"""
 WITH shingled AS (
   SELECT doc_id, unnest({_DUCK_SHINGLES}) AS sh FROM documents
   WHERE len({_DUCK_TOKS}) >= 3
@@ -328,7 +332,7 @@ halves AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
     ON a.band_id = b.band_id AND a.band_key = b.band_key
-   AND a.doc_id < b.doc_id
+   AND a.doc_id < b.doc_id{extra_pred}
 ), inter AS (
   SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
   FROM cand c
@@ -343,6 +347,9 @@ FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
              JOIN sizes sb ON sb.doc_id = i.doc_b
 WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.2
 """
+
+
+_DUCK_MINHASH = _duck_minhash_sql()
 
 
 def _hashed_shingles(spark, sf_dir):
@@ -385,7 +392,11 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     the 16 minhash variants are integer universal hashes over ONE MD5
     per distinct shingle (see _mh_coeffs — round 2 paid 16 MD5s per
     shingle and shuffled shingle strings)."""
-    dist = _hashed_shingles(spark, sf_dir)
+    return _minhash_pairs(_hashed_shingles(spark, sf_dir))
+
+
+def _minhash_bands(dist):
+    """(doc_id, band_id, band_key) from the hashed-shingle base."""
     halves = dist.select("doc_id",
                          F.expr("shiftright(h, 30)").alias("hh"),
                          F.expr("h & 1073741823").alias("hl"))
@@ -395,13 +406,23 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     band_keys = F.array(*[
         F.col(f"s{2*b}") * F.lit(2147483648) + F.col(f"s{2*b+1}")
         for b in range(_BANDS)])
-    bands = sig.select(
+    return sig.select(
         "doc_id", F.posexplode(band_keys).alias("band_id", "band_key"))
+
+
+def _minhash_pairs(dist, cand_filter=None):
+    """Band-candidate join + exact-Jaccard verify over the hashed
+    shingles; ``cand_filter(colA, colB)`` optionally narrows the
+    candidate pairs (incremental variant)."""
+    bands = _minhash_bands(dist)
     a = bands.alias("a")
     b_ = bands.alias("b")
-    cand = (a.join(b_, (F.col("a.band_id") == F.col("b.band_id"))
-                   & (F.col("a.band_key") == F.col("b.band_key"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+    cond = ((F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")))
+    if cand_filter is not None:
+        cond = cond & cand_filter(F.col("a.doc_id"), F.col("b.doc_id"))
+    cand = (a.join(b_, cond)
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"))
             .distinct())
@@ -419,6 +440,32 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return (jac.filter(F.col("jaccard_raw") >= 0.2)
             .select("doc_a", "doc_b",
                     F.round("jaccard_raw", 4).alias("jaccard")))
+
+
+_DUCK_MINHASH_INCR = _duck_minhash_sql(
+    " AND NOT (a.doc_id % 2 = 0 AND b.doc_id % 2 = 0)")
+
+
+@register("dedup_minhash_incremental", _DUCK_MINHASH_INCR)
+def q_dedup_minhash_incremental(spark, sf_dir):
+    """INCREMENTAL near-dup detection — the operational form at
+    10^12 turns: the corpus is split into an already-INDEXED half
+    (even doc_ids — in production a persisted, band-key-bucketed
+    (doc_id, band_id, band_key) table) and an ARRIVING half (odd
+    doc_ids); only candidate pairs involving at least one arriving
+    document are generated and verified, because indexed×indexed
+    pairs were already emitted when those documents arrived.
+
+    Losslessness is the contract (pinned in
+    tests/test_incremental_dedup.py): this query's pairs ∪ the
+    indexed-only pairs == the full-batch dedup_minhash_lsh pairs —
+    the decomposition drops nothing and re-verifies nothing.  Scale
+    shape: identical banded join as the batch query, with the
+    arriving-side predicate pushed into the join condition, so the
+    indexed side is never self-joined."""
+    dist = _hashed_shingles(spark, sf_dir)
+    return _minhash_pairs(
+        dist, cand_filter=lambda a, b: ~((a % 2 == 0) & (b % 2 == 0)))
 
 
 _DUCK_NGRAM_JACCARD = f"""
