@@ -353,8 +353,13 @@ _DUCK_MINHASH = _duck_minhash_sql()
 
 
 def _hashed_shingles(spark, sf_dir):
+    return _hashed_shingles_df(_t(spark, sf_dir, "documents"))
+
+
+def _hashed_shingles_df(docs):
     """(doc_id, h) distinct hashed word-3-gram shingles — the shared
-    candidate/verify base for the minhash and min-shingle-block dedups.
+    candidate/verify base for the minhash and min-shingle-block dedups,
+    over any (doc_id, text) frame.
 
     h is the 60-bit base hash (one MD5 per shingle, _SPARK_SH_HASH):
     hashing BEFORE the distinct means the dedup shuffle and every
@@ -363,8 +368,8 @@ def _hashed_shingles(spark, sf_dir):
     60-bit space makes cross-shingle collisions negligible at corpus
     scale (birthday bound ~2^30 distinct shingles per doc-pair
     comparison set), and both engines share the literal hash."""
-    docs = (_t(spark, sf_dir, "documents")
-            .repartition(spark.sparkContext.defaultParallelism))
+    docs = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism)
     # materialize the token array once — inlining the split inside the
     # transform lambda would re-split the text per shingle (O(len²))
     toks = docs.select("doc_id", F.expr(_SPARK_TOKS).alias("toks"))

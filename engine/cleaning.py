@@ -1,0 +1,107 @@
+"""End-to-end corpus-cleaning job: the training-data pass the
+analytics operators exist for, chained into ONE pipeline —
+
+    quality gates (C4 + language) → exact dedup → MinHash near-dup
+    removal → PII scrub → cleaned corpus + per-stage metrics.
+
+Stage semantics are the driver-checked queries' semantics
+(engine/analytics.py): the gates are the ``cleaning_pass`` gates, the
+near-dup pairs are ``dedup_minhash_lsh``'s (3-gram shingles, 16
+minhashes, 8 bands, exact-Jaccard ≥ 0.2 verify), and the scrub is
+``pii_scrub``'s (with no planted PII — real redaction only).
+
+Scale shape: gates and scrub are scan-fused projections; exact dedup
+is one groupBy; near-dup removal is the banded candidate join plus an
+ANTI-JOIN of the corpus against the larger-id members of confirmed
+pairs — the removal set, not the corpus, is the join's build side.
+Removal policy: a document is dropped iff it is the LARGER doc_id of
+some confirmed pair, so re-running detection on the survivors finds
+zero pairs (any surviving pair would contradict the removal —
+pinned in tests/test_cleaning_job.py).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from engine.analytics import (_C4_STOP_SQL, _LANG_SETS, _PII_EMAIL,
+                              _PII_PHONE, _SPARK_TOKS, _hashed_shingles_df,
+                              _minhash_pairs)
+
+
+def quality_language_gate(docs: DataFrame) -> DataFrame:
+    """C4-style keep gate + keep-English language vote (the
+    ``cleaning_pass`` gates) as ONE fused filter."""
+    stops = F.expr(f"size(filter({_SPARK_TOKS}, x -> x IN ({_C4_STOP_SQL})))")
+    punct = F.expr("length(regexp_replace(text, '[^.,;:!?]', ''))")
+    total = F.expr("greatest(length(text), 1)")
+    ntok = F.expr(f"size({_SPARK_TOKS})")
+    hits = {lang: F.expr(f"size(filter({_SPARK_TOKS}, x -> x IN "
+                         f"({', '.join(repr(w) for w in words)})))")
+            for lang, words in _LANG_SETS.items()}
+    keep = ((stops >= 0.02 * ntok) & (punct <= 0.2 * total)
+            & ntok.between(10, 100000)
+            & (hits["en"] >= hits["es"]) & (hits["en"] >= hits["fr"]))
+    return docs.filter(keep)
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Keep the lowest doc_id per exact content hash (one shuffle)."""
+    w_keep = (docs.groupBy(F.md5(F.col("text").cast("binary"))
+                           .alias("content_hash"))
+              .agg(F.min("doc_id").alias("doc_id")))
+    return docs.join(w_keep, "doc_id", "left_semi")
+
+
+def neardup_removal(docs: DataFrame) -> DataFrame:
+    """Drop every document that is the larger-id member of a confirmed
+    MinHash near-dup pair (Jaccard ≥ 0.2)."""
+    pairs = _minhash_pairs(_hashed_shingles_df(docs))
+    drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return docs.join(drop, "doc_id", "left_anti")
+
+
+def pii_scrub_text(docs: DataFrame) -> DataFrame:
+    """Redact emails/phones in place; adds n_redactions."""
+    n_red = (F.size(F.regexp_extract_all(F.col("text"), F.lit(_PII_EMAIL),
+                                         F.lit(0)))
+             + F.size(F.regexp_extract_all(F.col("text"), F.lit(_PII_PHONE),
+                                           F.lit(0))))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _PII_EMAIL, "[EMAIL]"),
+        _PII_PHONE, "[PHONE]")
+    return docs.withColumn("n_redactions", n_red.cast("long")) \
+               .withColumn("text", scrubbed)
+
+
+def run_cleaning_job(spark: SparkSession, input_path: str,
+                     output_path: str) -> dict:
+    """documents parquet in → cleaned corpus parquet out, one JSON-able
+    metrics dict back (per-stage survivor counts reconcile the run the
+    way the extraction pipeline's lineage rows do)."""
+    t0 = time.time()
+    docs = spark.read.parquet(input_path)
+    n_in = docs.count()
+    gated = quality_language_gate(docs)
+    n_gated = gated.count()
+    exact = exact_dedup(gated)
+    n_exact = exact.count()
+    survivors = neardup_removal(exact)
+    n_near = survivors.count()
+    cleaned = pii_scrub_text(survivors)
+    cleaned.write.mode("overwrite").parquet(output_path)
+    out = spark.read.parquet(output_path)
+    n_out = out.count()
+    n_redactions = out.agg(F.sum("n_redactions")).first()[0] or 0
+    return {
+        "rows_in": n_in,
+        "after_quality_language": n_gated,
+        "after_exact_dedup": n_exact,
+        "after_neardup_removal": n_near,
+        "rows_out": n_out,
+        "pii_redactions": int(n_redactions),
+        "wall_sec": round(time.time() - t0, 3),
+    }

@@ -1,0 +1,35 @@
+#!/usr/bin/env python3
+"""Corpus-cleaning job CLI (spark-submit surface for engine/cleaning.py).
+
+    spark-submit --py-files engine.zip scripts/run_clean.py \
+        --input /path/documents_parquet --output /path/cleaned
+
+Prints ONE JSON line of per-stage metrics (rows in/out per stage,
+redaction count, wall seconds).
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    args = p.parse_args()
+
+    from engine.cleaning import run_cleaning_job
+    from engine.session import get_spark
+
+    spark = get_spark(app_name="cleaning-job")
+    spark.sparkContext.setLogLevel("ERROR")
+    metrics = run_cleaning_job(spark, args.input, args.output)
+    print(json.dumps(metrics))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,55 @@
+"""End-to-end corpus-cleaning job: stage counts reconcile, the
+near-dup removal policy leaves NO detectable pair behind, and PII is
+gone from the output."""
+
+from pyspark.sql import functions as F
+
+from engine.cleaning import run_cleaning_job
+from engine.analytics import _hashed_shingles_df, _minhash_pairs
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_cleaning_job_reconciles_and_is_pairfree(spark, tmp_path):
+    out = str(tmp_path / "cleaned")
+    m = run_cleaning_job(spark, f"{SF}/documents.parquet", out)
+
+    # monotone stage funnel that reconciles with the written output
+    assert m["rows_in"] == 500
+    assert (m["rows_in"] >= m["after_quality_language"]
+            >= m["after_exact_dedup"] >= m["after_neardup_removal"]
+            == m["rows_out"] > 0)
+
+    cleaned = spark.read.parquet(out)
+    assert cleaned.count() == m["rows_out"]
+    assert cleaned.select("doc_id").distinct().count() == m["rows_out"]
+
+    # removal policy is a fixed point: re-running near-dup detection
+    # on the survivors finds nothing (every confirmed pair's larger
+    # member was dropped; detection is deterministic)
+    leftover = _minhash_pairs(
+        _hashed_shingles_df(cleaned.select("doc_id", "text"))).count()
+    assert leftover == 0
+
+    # no un-redacted emails survive the scrub
+    email_like = cleaned.filter(
+        F.col("text").rlike(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+    ).count()
+    assert email_like == 0
+    assert m["pii_redactions"] >= 0
+
+
+def test_cleaning_job_redacts_planted_pii(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    planted = docs.withColumn(
+        "text", F.concat(F.col("text"),
+                         F.lit(" reach me at someone@example.com")))
+    inp = str(tmp_path / "docs_pii")
+    planted.write.parquet(inp)
+    out = str(tmp_path / "cleaned_pii")
+    m = run_cleaning_job(spark, inp, out)
+    assert m["pii_redactions"] >= m["rows_out"]  # every survivor had one
+    cleaned = spark.read.parquet(out)
+    assert cleaned.filter(F.col("text").contains("@example.com")).count() == 0
+    assert cleaned.filter(F.col("text").contains("[EMAIL]")).count() \
+        == m["rows_out"]
