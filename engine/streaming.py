@@ -127,3 +127,29 @@ def stream_metrics(spark: SparkSession, input_path: str, query: str,
                  F.sum("n_results").alias("records"),
                  F.sum(F.when(F.col("status") == "parse_error", 1)
                        .otherwise(0)).alias("parse_failures")))
+
+
+def stream_dedup_exact(spark: SparkSession, input_path: str,
+                       watermark: str = "1 hour") -> DataFrame:
+    """Streaming EXACT dedup over arriving transcript turns: the first
+    occurrence of each content hash within the event-time watermark
+    passes, later copies are dropped — the streaming member of the
+    dedup family (batch: dedup_exact; batch-incremental:
+    dedup_minhash_incremental).
+
+    ``dropDuplicates`` keyed on the content hash keeps its state in
+    the checkpointed state store, so resume is exact, and the
+    watermark BOUNDS the state: at 10^12 turns unbounded dedup state
+    is impossible, so the contract is "exactly-once within the
+    watermark horizon, at-least-once across horizons" — the same
+    trade every production streaming dedup makes.  Rows with NULL
+    event time would be silently dropped by the watermark; they are
+    filtered explicitly so the drop is visible in the plan."""
+    stream = read_transcript_stream(spark, input_path)
+    return (stream
+            .filter(F.col("ts").isNotNull())
+            .withColumn("content_hash",
+                        F.md5(F.coalesce(F.col("text"), F.lit(""))
+                              .cast("binary")))
+            .withWatermark("ts", watermark)
+            .dropDuplicates(["content_hash"]))

@@ -175,3 +175,45 @@ def test_stream_extract_exactly_once_after_midstream_crash(spark, tmp_path):
     assert final.count() == 72  # 4 appends × 3 convs × 6 turns
     assert final.select("conv_id", "turn_idx").distinct().count() == 72
     assert final.filter(F.col("status") == "parse_error").count() == 0
+
+
+def test_stream_dedup_exact_drops_late_copies_and_resumes(spark, tmp_path):
+    """Watermarked streaming dedup: duplicate contents arriving in a
+    LATER micro-batch are dropped against the checkpointed state, and
+    a restart resumes that state instead of re-admitting copies."""
+    import datetime
+
+    from engine.streaming import stream_dedup_exact
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+    ts = datetime.datetime(2026, 1, 1, 12, 0, 0)
+
+    def rows(texts, conv):
+        return spark.createDataFrame(
+            [(conv, i, "assistant", t, None, ts)
+             for i, t in enumerate(texts)],
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp")
+
+    def drain():
+        q = (stream_dedup_exact(spark, inp)
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", cp)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    first = [f"unique document number {i}" for i in range(10)]
+    rows(first, "c0").coalesce(1).write.mode("append").parquet(inp)
+    drain()
+    assert spark.read.parquet(out).count() == 10
+
+    # a re-delivered copy of all 10 plus 3 genuinely new texts, in a
+    # NEW streaming run against the same checkpoint (state must resume)
+    rows(first + [f"fresh document {i}" for i in range(3)], "c1") \
+        .coalesce(1).write.mode("append").parquet(inp)
+    drain()
+    total = spark.read.parquet(out)
+    assert total.count() == 13  # 10 re-delivered copies all dropped
+    assert total.select("content_hash").distinct().count() == 13
