@@ -121,12 +121,14 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
 
     # analytics operators at scale (skipped in scaling-only mode)
     analytics_names = [] if os.environ.get("SPARK_GRAFT_SCALING_ONLY") else [
-        "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+        "dedup_exact", "dedup_minhash_lsh", "dedup_minhash_incremental",
+        "dedup_ngram_jaccard",
         "dedup_simhash", "simhash_hamming_candidates",
         "dedup_embedding_cosine", "ann_cosine_topk", "ann_lsh_top1",
         "ann_ivf_topk", "winnowing_overlap",
         "sessionize", "group_winner_rank", "turn_order_window",
-        "quality_score", "token_count", "boilerplate_strip", "pdf_extract"]
+        "quality_score", "token_count", "pii_scrub", "cleaning_pass",
+        "boilerplate_strip", "pdf_extract"]
     # Steady-state methodology (round 3): each analytics query first
     # runs once at a tiny SF.  The tiny pass compiles the query's
     # generated classes and lets HotSpot JIT its hot paths — measured
