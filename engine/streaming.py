@@ -137,14 +137,21 @@ def stream_dedup_exact(spark: SparkSession, input_path: str,
     dedup family (batch: dedup_exact; batch-incremental:
     dedup_minhash_incremental).
 
-    ``dropDuplicates`` keyed on the content hash keeps its state in
-    the checkpointed state store, so resume is exact, and the
-    watermark BOUNDS the state: at 10^12 turns unbounded dedup state
-    is impossible, so the contract is "exactly-once within the
-    watermark horizon, at-least-once across horizons" — the same
-    trade every production streaming dedup makes.  Rows with NULL
-    event time would be silently dropped by the watermark; they are
-    filtered explicitly so the drop is visible in the plan."""
+    ``dropDuplicatesWithinWatermark`` keyed on the content hash keeps
+    its state in the checkpointed state store (so resume is exact) and
+    EVICTS a hash's state once the watermark passes that hash's first
+    event time + the delay — plain ``dropDuplicates`` on a
+    non-event-time key would keep every hash forever even under a
+    watermark (state is only evicted when the event-time column is
+    part of the dedup key), which is impossible at 10^12 turns.  The
+    contract is therefore "exactly-once within the watermark horizon,
+    at-least-once across horizons" — the same trade every production
+    streaming dedup makes; tests/test_streaming.py proves BOTH halves
+    (a copy inside the horizon is dropped; a copy arriving after the
+    watermark passed the original's horizon is re-admitted, i.e. the
+    state really was evicted).  Rows with NULL event time would be
+    silently dropped by the watermark; they are filtered explicitly so
+    the drop is visible in the plan."""
     stream = read_transcript_stream(spark, input_path)
     return (stream
             .filter(F.col("ts").isNotNull())
@@ -152,4 +159,4 @@ def stream_dedup_exact(spark: SparkSession, input_path: str,
                         F.md5(F.coalesce(F.col("text"), F.lit(""))
                               .cast("binary")))
             .withWatermark("ts", watermark)
-            .dropDuplicates(["content_hash"]))
+            .dropDuplicatesWithinWatermark(["content_hash"]))

@@ -217,3 +217,65 @@ def test_stream_dedup_exact_drops_late_copies_and_resumes(spark, tmp_path):
     total = spark.read.parquet(out)
     assert total.count() == 13  # 10 re-delivered copies all dropped
     assert total.select("content_hash").distinct().count() == 13
+
+
+def test_stream_dedup_state_is_watermark_bounded(spark, tmp_path):
+    """The half a global-dedup test cannot see: state for a content
+    hash is EVICTED once the watermark passes its horizon, so a copy
+    arriving much later is re-admitted (at-least-once across horizons)
+    — proving the operator keeps bounded state rather than every hash
+    forever.  Timeline (watermark delay 1h):
+
+      drain 1: original at 12:00          → state expires at 13:00
+      drain 2: unrelated row at 22:00     → watermark advances to
+               21:00 > 13:00 → the original's state is evicted
+      drain 3: byte-identical copy at 22:00 → ADMITTED (state gone);
+               a second copy in the same drain is still dropped
+               (exactly-once within the new horizon)
+    """
+    import datetime
+
+    from engine.streaming import stream_dedup_exact
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    late = t0 + datetime.timedelta(hours=10)
+
+    def rows(specs, conv):
+        return spark.createDataFrame(
+            [(conv, i, "assistant", t, None, when)
+             for i, (t, when) in enumerate(specs)],
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp")
+
+    def drain():
+        q = (stream_dedup_exact(spark, inp)
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", cp)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    rows([("the original document", t0)], "c0") \
+        .coalesce(1).write.mode("append").parquet(inp)
+    drain()
+    assert spark.read.parquet(out).count() == 1
+
+    # advances the watermark past the original's 13:00 expiry
+    rows([("an unrelated heartbeat", late)], "c1") \
+        .coalesce(1).write.mode("append").parquet(inp)
+    drain()
+    assert spark.read.parquet(out).count() == 2
+
+    # same content re-delivered after the horizon: state was evicted,
+    # so ONE copy lands; its duplicate within the same horizon is still
+    # dropped
+    rows([("the original document", late),
+          ("the original document", late)], "c2") \
+        .coalesce(1).write.mode("append").parquet(inp)
+    drain()
+    final = spark.read.parquet(out)
+    assert final.count() == 3
+    assert final.filter(F.col("text") == "the original document") \
+                .count() == 2  # original + one post-eviction re-admit
