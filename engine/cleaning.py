@@ -28,7 +28,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from engine.analytics import (_C4_STOP_SQL, _LANG_SETS, _PII_EMAIL,
-                              _PII_PHONE, _SPARK_TOKS, _hashed_shingles_df,
+                              _PII_PHONE, _SPARK_TOKS,
+                              _connected_components, _hashed_shingles_df,
                               _minhash_pairs)
 
 
@@ -56,11 +57,29 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     return docs.join(w_keep, "doc_id", "left_semi")
 
 
-def neardup_removal(docs: DataFrame) -> DataFrame:
-    """Drop every document that is the larger-id member of a confirmed
-    MinHash near-dup pair (Jaccard ≥ 0.2)."""
+def neardup_removal(docs: DataFrame, policy: str = "pairwise") -> DataFrame:
+    """Drop near-duplicate documents (MinHash pairs, Jaccard ≥ 0.2).
+
+    ``policy="pairwise"``: drop every document that is the larger-id
+    member of some confirmed pair — a sound fixed point (survivors
+    re-detect zero pairs) but it can keep MORE than one member of a
+    transitive cluster (edges (1,3),(2,3) keep both 1 and 2 even
+    though 1~3~2 is one cluster).
+
+    ``policy="clusters"``: resolve transitive clusters with min-id
+    label propagation (_connected_components) and keep exactly ONE
+    document per cluster (the smallest doc_id) — the standard
+    production dedup shape; an A~B~C chain collapses to a single
+    survivor (tested in tests/test_cleaning_job.py)."""
     pairs = _minhash_pairs(_hashed_shingles_df(docs))
-    drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    if policy == "clusters":
+        drop = (_connected_components(pairs)
+                .filter(F.col("doc_id") != F.col("cluster_id"))
+                .select("doc_id"))
+    elif policy == "pairwise":
+        drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    else:
+        raise ValueError(f"unknown near-dup policy: {policy!r}")
     return docs.join(drop, "doc_id", "left_anti")
 
 
@@ -77,7 +96,7 @@ def pii_scrub_text(docs: DataFrame) -> DataFrame:
                .withColumn("text", scrubbed)
 
 
-def cleaning_stages(docs: DataFrame) -> dict:
+def cleaning_stages(docs: DataFrame, neardup_policy: str = "pairwise") -> dict:
     """The job's stage DataFrames, each boundary PERSISTED.
 
     Every stage output is referenced more than once downstream (exact
@@ -92,14 +111,15 @@ def cleaning_stages(docs: DataFrame) -> dict:
     the counts execute as InMemoryTableScan with no parquet scan)."""
     gated = quality_language_gate(docs).persist()
     exact = exact_dedup(gated).persist()
-    survivors = neardup_removal(exact).persist()
+    survivors = neardup_removal(exact, policy=neardup_policy).persist()
     cleaned = pii_scrub_text(survivors)
     return {"gated": gated, "exact": exact, "survivors": survivors,
             "cleaned": cleaned}
 
 
 def run_cleaning_job(spark: SparkSession, input_path: str,
-                     output_path: str) -> dict:
+                     output_path: str,
+                     neardup_policy: str = "pairwise") -> dict:
     """documents parquet in → cleaned corpus parquet out, one JSON-able
     metrics dict back (per-stage survivor counts reconcile the run the
     way the extraction pipeline's lineage rows do).
@@ -114,7 +134,7 @@ def run_cleaning_job(spark: SparkSession, input_path: str,
 
     t0 = time.time()
     docs = spark.read.parquet(input_path)
-    stages = cleaning_stages(docs)
+    stages = cleaning_stages(docs, neardup_policy=neardup_policy)
     obs = Observation()
     cleaned = stages["cleaned"].observe(
         obs, F.count(F.lit(1)).alias("rows_out"),

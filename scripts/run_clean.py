@@ -20,6 +20,10 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
+    p.add_argument("--neardup-policy", default="pairwise",
+                   choices=["pairwise", "clusters"],
+                   help="pairwise: drop larger member of each pair; "
+                        "clusters: keep one doc per transitive cluster")
     args = p.parse_args()
 
     from engine.cleaning import run_cleaning_job
@@ -27,7 +31,8 @@ def main() -> None:
 
     spark = get_spark(app_name="cleaning-job")
     spark.sparkContext.setLogLevel("ERROR")
-    metrics = run_cleaning_job(spark, args.input, args.output)
+    metrics = run_cleaning_job(spark, args.input, args.output,
+                               neardup_policy=args.neardup_policy)
     print(json.dumps(metrics))
 
 
