@@ -1228,20 +1228,21 @@ _WINNOW_MIN_SHARED = 3
 
 _DUCK_WINNOW_OVERLAP = f"""
 WITH t0 AS (SELECT doc_id, lower(text) AS txt FROM documents),
+doff AS (SELECT MAX(doc_id) + 1 AS o FROM t0),
 t AS (
   SELECT doc_id, txt FROM t0
   UNION ALL
-  SELECT doc_id + 1000000 AS doc_id,
+  SELECT t0.doc_id + doff.o AS doc_id,
          'shared run ' || md5(CAST(doc_id AS VARCHAR))
            || ' common winnow segment; tail alpha ' || CAST(doc_id AS VARCHAR)
            AS txt
-  FROM t0 WHERE doc_id % 10 = 0
+  FROM t0, doff WHERE doc_id % 10 = 0
   UNION ALL
-  SELECT doc_id + 2000000 AS doc_id,
+  SELECT t0.doc_id + 2 * doff.o AS doc_id,
          'shared run ' || md5(CAST(doc_id AS VARCHAR))
            || ' common winnow segment; tail beta ' || md5('b' || CAST(doc_id AS VARCHAR))
            AS txt
-  FROM t0 WHERE doc_id % 10 = 0
+  FROM t0, doff WHERE doc_id % 10 = 0
 ),
 {_DUCK_WINNOW_FPS},
 capped AS (
@@ -1268,7 +1269,9 @@ def q_winnowing_overlap(spark, sf_dir):
     are reported as overlap pairs with their shared-fp count.
 
     The corpus carries planted overlaps: every 10th doc_id seeds a
-    PAIR of synthetic docs (ids +1M / +2M) opening with the same
+    PAIR of synthetic docs (ids offset by max(doc_id)+1 and
+    2·(max(doc_id)+1) — strictly above the natural id space at ANY
+    corpus size) opening with the same
     65-char run ('shared run ' + md5(doc_id) + ' common winnow
     segment;') and diverging tails.  The run is ≥ w+k-1 = 14 chars, so
     by the winnowing guarantee each pair MUST share fingerprints
@@ -1288,16 +1291,21 @@ def q_winnowing_overlap(spark, sf_dir):
     docs = (_t(spark, sf_dir, "documents")
             .repartition(spark.sparkContext.defaultParallelism)
             .select("doc_id", F.lower(F.col("text")).alias("txt")))
+    # plant ids live strictly above the natural id space (ADVICE r3:
+    # fixed +1M/+2M offsets would collide with natural ids once the
+    # corpus reaches 1M docs); the offset is one footer-cheap max()
+    # scan, mirrored by the oracle's scalar-subquery `doff`
+    doff = int(docs.agg(F.max("doc_id")).first()[0]) + 1
     tenth = docs.filter(F.col("doc_id") % 10 == 0)
     run = F.concat(F.lit("shared run "),
                    F.md5(F.col("doc_id").cast("string").cast("binary")),
                    F.lit(" common winnow segment; tail "))
     plants_a = tenth.select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
+        (F.col("doc_id") + doff).alias("doc_id"),
         F.concat(run, F.lit("alpha "),
                  F.col("doc_id").cast("string")).alias("txt"))
     plants_b = tenth.select(
-        (F.col("doc_id") + 2000000).alias("doc_id"),
+        (F.col("doc_id") + 2 * doff).alias("doc_id"),
         F.concat(run, F.lit("beta "),
                  F.md5(F.concat(F.lit("b"), F.col("doc_id").cast("string"))
                        .cast("binary"))).alias("txt"))
@@ -1380,29 +1388,40 @@ def _lsh_embeddings(df):
 # Planted near-duplicate corpus, shared by the LSH/ANN family: every
 # 10th vector gets a deterministically perturbed copy (first component
 # +0.01 in DOUBLE space — identical IEEE arithmetic in both engines) at
-# vec_id + 1,000,000.  The natural corpus is near-random (max top-1
-# cosine ≈ 0.51), so a planted pair that surfaces was genuinely
-# RETRIEVED by the candidate generator — the recall evidence VERDICT r2
-# asked for ("hash-green proves determinism, not retrieval").
+# vec_id + (max(vec_id) + 1) — strictly above the natural id space at
+# ANY corpus size (ADVICE r3: a fixed +1M offset would collide once
+# the corpus reaches 1M vectors).  The natural corpus is near-random
+# (max top-1 cosine ≈ 0.51), so a planted pair that surfaces was
+# genuinely RETRIEVED by the candidate generator — the recall evidence
+# VERDICT r2 asked for ("hash-green proves determinism, not
+# retrieval").  `voff` is the oracle's scalar mirror of the eager
+# max()+1 the Spark side computes; plant-selection predicates compare
+# against (SELECT o FROM voff).
 _DUCK_PLANTED_EMB = """
 base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+voff AS (SELECT MAX(vec_id) + 1 AS o FROM base),
 emb AS (
   SELECT vec_id, e FROM base
   UNION ALL
-  SELECT vec_id + 1000000 AS vec_id,
+  SELECT base.vec_id + voff.o AS vec_id,
          [e[1] + 0.01] || e[2:64] AS e
-  FROM base WHERE vec_id % 10 = 0
+  FROM base, voff WHERE vec_id % 10 = 0
 )"""
+
+_DUCK_VOFF = "(SELECT o FROM voff)"
 
 
 def _planted_embeddings(spark, sf_dir):
-    """The Spark mirror of ``_DUCK_PLANTED_EMB``."""
+    """The Spark mirror of ``_DUCK_PLANTED_EMB``.  Returns
+    ``(emb, off)``: the planted frame and the plant-id offset (plants
+    are exactly the rows with ``vec_id >= off``)."""
     base = _lsh_embeddings(_t(spark, sf_dir, "embeddings"))
+    off = int(base.agg(F.max("vec_id")).first()[0]) + 1
     dups = (base.filter(F.col("vec_id") % 10 == 0)
-            .select((F.col("vec_id") + 1000000).alias("vec_id"),
+            .select((F.col("vec_id") + off).alias("vec_id"),
                     F.expr("concat(array(element_at(e, 1) + 0.01D), "
                            "slice(e, 2, 63))").alias("e")))
-    return base.select("vec_id", "e").unionAll(dups)
+    return base.select("vec_id", "e").unionAll(dups), off
 
 
 def _lsh_bands(emb):
@@ -1482,7 +1501,7 @@ def q_ann_lsh_top1(spark, sf_dir):
     so every plant's top-1 is a retrieval the bands had to make;
     ann_recall_report measures recall@1 against brute force.
     """.format(cap=_BUCKET_CAP, planes=_N_PLANES)
-    emb = _planted_embeddings(spark, sf_dir)
+    emb, _off = _planted_embeddings(spark, sf_dir)
     capped = _lsh_bands(emb)
     a = capped.alias("a")
     b = capped.alias("b")
@@ -1519,7 +1538,7 @@ WITH {_DUCK_PLANTED_EMB},
   FROM capped a JOIN capped b
     ON a.band_id = b.band_id AND a.band_key = b.band_key
    AND a.vec_id <> b.vec_id
-  WHERE a.vec_id >= 1000000
+  WHERE a.vec_id >= {_DUCK_VOFF}
 ), pred AS (
   SELECT va, vb FROM (
     SELECT c.va, c.vb,
@@ -1536,7 +1555,7 @@ WITH {_DUCK_PLANTED_EMB},
              ORDER BY ROUND(list_cosine_similarity(q.e, m.e), 6) DESC,
                       m.vec_id) AS rn
     FROM emb q JOIN emb m ON m.vec_id <> q.vec_id
-    WHERE q.vec_id >= 1000000)
+    WHERE q.vec_id >= {_DUCK_VOFF})
   WHERE rn = 1
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
@@ -1562,14 +1581,14 @@ def q_ann_recall_report(spark, sf_dir):
     is the banded-LSH top-1 restricted to the same query set.  A
     missed query (no band collision at all) counts as a miss via the
     left join.  Output: one row (n_queries, n_hit, recall_at_1)."""
-    emb = _planted_embeddings(spark, sf_dir)
+    emb, off = _planted_embeddings(spark, sf_dir)
     capped = _lsh_bands(emb)
     a = capped.alias("a")
     b = capped.alias("b")
     cand = (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
                    & (F.col("a.band_key") == F.col("b.band_key"))
                    & (F.col("a.vec_id") != F.col("b.vec_id")))
-            .filter(F.col("a.vec_id") >= 1000000)
+            .filter(F.col("a.vec_id") >= off)
             .select(F.col("a.vec_id").alias("va"),
                     F.col("b.vec_id").alias("vb")).distinct())
     ea = emb.select(F.col("vec_id").alias("va"), F.col("e").alias("e_a"))
@@ -1580,7 +1599,7 @@ def q_ann_recall_report(spark, sf_dir):
             .select("va", "vb", F.expr(_COS_AB).alias("cos_raw"))
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1).select("va", "vb"))
-    q = (emb.filter(F.col("vec_id") >= 1000000)
+    q = (emb.filter(F.col("vec_id") >= off)
          .select(F.col("vec_id").alias("qid"), F.col("e").alias("e_a")))
     m = emb.select(F.col("vec_id").alias("mid"), F.col("e").alias("e_b"))
     wt = Window.partitionBy("qid").orderBy(
@@ -1633,7 +1652,7 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     surviving pair is a plant the LSH bands had to recall.  Same scale
     shape as ann_lsh_top1: banded self-join, bucket cap, no broadcast
     hints, cosine only on candidates."""
-    emb = _planted_embeddings(spark, sf_dir)
+    emb, _off = _planted_embeddings(spark, sf_dir)
     capped = _lsh_bands(emb)
     a = capped.alias("a")
     b = capped.alias("b")
@@ -1923,7 +1942,8 @@ def q_ann_ivf_sampled_topk(spark, sf_dir):
 _DUCK_IVF_RECALL = f"""
 WITH {_DUCK_PLANTED_EMB},
 {_duck_ivf_ctes()},
-qs AS (SELECT vec_id AS qid, e AS qe FROM emb WHERE vec_id >= 1000000),
+qs AS (SELECT vec_id AS qid, e AS qe FROM emb
+       WHERE vec_id >= {_DUCK_VOFF}),
 probe AS (
   SELECT qid, cell FROM (
     SELECT q.qid, c.cell,
@@ -1988,9 +2008,9 @@ def _ivf_recall_df(spark, sf_dir, nprobe: int):
     """ann_ivf_recall's body with the probe width as a parameter — the
     accuracy/cost dial (scripts/ivf_recall_dial.py measures nprobe=2
     vs 4; numbers in BENCH/FLOOR.md)."""
-    emb = _planted_embeddings(spark, sf_dir)
+    emb, off = _planted_embeddings(spark, sf_dir)
     cent, assign = _ivf_fit(emb)
-    qs = (emb.filter(F.col("vec_id") >= 1000000)
+    qs = (emb.filter(F.col("vec_id") >= off)
           .select(F.col("vec_id").alias("qid"), F.col("e").alias("qe")))
     wpr = Window.partitionBy("qid").orderBy(
         F.round(F.expr(_COS_QE_CE), 6).desc(), F.col("cell"))

@@ -14,6 +14,9 @@ from engine.queries import _REGISTRY
 import engine.analytics  # noqa: F401  (registers the queries)
 
 SF = "/root/testdata/sf0.001"
+# plant-id offset = max(vec_id) + 1 (500 vectors, ids 0..499 — ADVICE
+# r3: offsets derived from the corpus, not fixed constants)
+OFF = 500
 
 
 @pytest.fixture(scope="module")
@@ -24,10 +27,10 @@ def lsh_top1(spark):
 
 
 def test_planted_pairs_are_each_others_top1(lsh_top1, spark):
-    plants = [v for v in lsh_top1 if v >= 1000000]
+    plants = [v for v in lsh_top1 if v >= OFF]
     assert len(plants) == 50  # 500 base vectors / 10
     for p in plants:
-        src = p - 1000000
+        src = p - OFF
         nb, cos = lsh_top1[p]
         assert nb == src, f"plant {p} retrieved {nb}, not its source"
         assert cos > 0.99
@@ -37,7 +40,7 @@ def test_planted_pairs_are_each_others_top1(lsh_top1, spark):
 
 def test_natural_corpus_stays_dissimilar(lsh_top1):
     naturals = {v: c for v, (n, c) in lsh_top1.items()
-                if v < 1000000 and n < 1000000}
+                if v < OFF and n < OFF}
     assert naturals, "no natural-only matches surfaced"
     assert max(naturals.values()) < 0.95
 
@@ -87,11 +90,12 @@ def test_ivf_sampled_fit_still_recalls_plants(spark):
     from engine.analytics import (_ivf_assign, _ivf_fit,
                                   _planted_embeddings)
 
-    emb = _planted_embeddings(spark, SF)
+    emb, off = _planted_embeddings(spark, SF)
+    assert off == OFF
     cent, _ = _ivf_fit(emb, train_limit=200)
     assign = _ivf_assign(emb, cent)
     a = assign.alias("a")
-    b = (assign.withColumn("vec_id", F.col("vec_id") + 1000000)
+    b = (assign.withColumn("vec_id", F.col("vec_id") + off)
          .withColumnRenamed("cell", "plant_cell").alias("b"))
     pairs = a.join(b, "vec_id")  # rows where a plant exists
     split = pairs.filter(F.col("cell") != F.col("plant_cell")).count()

@@ -14,8 +14,12 @@ SF = "/root/testdata/sf0.001"
 def test_winnowing_overlap_surfaces_all_planted_pairs(spark):
     fn, _ = _REGISTRY["winnowing_overlap"]
     df = fn(spark, SF)
-    plants = (df.filter((F.col("doc_a") >= 1000000)
-                        & (F.col("doc_b") - F.col("doc_a") == 1000000))
+    # plant ids sit at +off / +2·off above the natural space, off =
+    # max(doc_id)+1 (ADVICE r3: offsets derived, not fixed constants)
+    off = spark.read.parquet(f"{SF}/documents.parquet") \
+        .agg(F.max("doc_id")).first()[0] + 1
+    plants = (df.filter((F.col("doc_a") >= off)
+                        & (F.col("doc_b") - F.col("doc_a") == off))
               .collect())
     assert len(plants) == 50  # 500 docs / 10
     # the 65-char shared run guarantees ≥ ceil((65-13-7)/8) ≈ 6 shared
@@ -23,6 +27,6 @@ def test_winnowing_overlap_surfaces_all_planted_pairs(spark):
     assert min(r["n_shared"] for r in plants) >= 3
     # plants must NOT overlap the natural corpus (their runs are
     # md5-unique): any (natural, plant) pair is a bug
-    cross = df.filter((F.col("doc_a") < 1000000)
-                      & (F.col("doc_b") >= 1000000)).count()
+    cross = df.filter((F.col("doc_a") < off)
+                      & (F.col("doc_b") >= off)).count()
     assert cross == 0
