@@ -415,6 +415,28 @@ def _minhash_bands(dist):
         "doc_id", F.posexplode(band_keys).alias("band_id", "band_key"))
 
 
+def _verify_jaccard(cand, dist, threshold: float = 0.2):
+    """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs
+    against the hashed-shingle base — shared by the batch MinHash
+    queries and the streaming near-dup job (engine/streaming.py).
+    Only candidates are verified; the joins move 8-byte shingle
+    hashes."""
+    da = dist.select(F.col("doc_id").alias("doc_a"), "h")
+    db = dist.select(F.col("doc_id").alias("doc_b"), "h")
+    inter = (cand.join(da, "doc_a").join(db, ["doc_b", "h"])
+             .groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_common")))
+    sizes = dist.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = (inter.join(sa, "doc_a").join(sb, "doc_b")
+           .withColumn("jaccard_raw",
+                       F.col("n_common")
+                       / (F.col("na") + F.col("nb") - F.col("n_common"))))
+    return (jac.filter(F.col("jaccard_raw") >= threshold)
+            .select("doc_a", "doc_b",
+                    F.round("jaccard_raw", 4).alias("jaccard")))
+
+
 def _minhash_pairs(dist, cand_filter=None):
     """Band-candidate join + exact-Jaccard verify over the hashed
     shingles; ``cand_filter(colA, colB)`` optionally narrows the
@@ -431,20 +453,7 @@ def _minhash_pairs(dist, cand_filter=None):
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"))
             .distinct())
-    da = dist.select(F.col("doc_id").alias("doc_a"), "h")
-    db = dist.select(F.col("doc_id").alias("doc_b"), "h")
-    inter = (cand.join(da, "doc_a").join(db, ["doc_b", "h"])
-             .groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_common")))
-    sizes = dist.groupBy("doc_id").agg(F.count("*").alias("n"))
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = (inter.join(sa, "doc_a").join(sb, "doc_b")
-           .withColumn("jaccard_raw",
-                       F.col("n_common")
-                       / (F.col("na") + F.col("nb") - F.col("n_common"))))
-    return (jac.filter(F.col("jaccard_raw") >= 0.2)
-            .select("doc_a", "doc_b",
-                    F.round("jaccard_raw", 4).alias("jaccard")))
+    return _verify_jaccard(cand, dist)
 
 
 _DUCK_MINHASH_INCR = _duck_minhash_sql(

@@ -160,3 +160,78 @@ def stream_dedup_exact(spark: SparkSession, input_path: str,
                               .cast("binary")))
             .withWatermark("ts", watermark)
             .dropDuplicatesWithinWatermark(["content_hash"]))
+
+
+def stream_dedup_neardup(spark: SparkSession, input_path: str,
+                         index_dir: str, pairs_dir: str,
+                         checkpoint_path: str, available_now: bool = True):
+    """Streaming NEAR-dup detection — the streaming member of the
+    MinHash family (VERDICT r3 item 3; batch: dedup_minhash_lsh,
+    batch-incremental: dedup_minhash_incremental): each micro-batch's
+    documents are shingled and banded, band-joined against the
+    PERSISTED index of everything seen so far (plus themselves), the
+    candidates are exact-Jaccard verified, and the batch's bands +
+    hashed shingles are appended to the index — the production form
+    dedup_minhash_incremental's docstring describes, as a running job.
+
+    Incrementality: the band join is one-sided (arriving bands ×
+    (indexed ∪ arriving) bands), so indexed×indexed is never
+    re-joined — pairs between two indexed documents were emitted when
+    the later one arrived.  Exactly-once across restarts: all writes
+    are per-batch-id overwrites (pairs and index live under
+    ``batch=<id>`` partitions), so a replayed micro-batch rewrites its
+    own partitions byte-identically instead of duplicating them; a
+    replayed batch re-reading an index that already contains its own
+    documents changes nothing (same-doc pairs are excluded by id, the
+    candidate set is DISTINCT).
+
+    Scale shape: the index is an append-only parquet table partitioned
+    by arrival batch, keyed by 8-byte band keys / shingle hashes —
+    at 10^12 documents you would bucket it by band_key so the
+    candidate join co-partitions without a shuffle of the index side.
+    Input is a (doc_id, text) document stream."""
+    from engine.analytics import (_hashed_shingles_df, _minhash_bands,
+                                  _verify_jaccard)
+
+    stream = (spark.readStream
+              .schema("doc_id LONG, text STRING")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(input_path))
+
+    def _process(batch_df, batch_id):
+        import os as _os
+
+        batch_docs = batch_df.select("doc_id", "text").persist()
+        dist_arr = _hashed_shingles_df(batch_docs).persist()
+        bands_arr = _minhash_bands(dist_arr).persist()
+        have_index = _os.path.isdir(f"{index_dir}/dist")
+        if have_index:
+            dist_all = (spark.read.parquet(f"{index_dir}/dist")
+                        .select("doc_id", "h").unionAll(dist_arr))
+            bands_all = (spark.read.parquet(f"{index_dir}/bands")
+                         .select("doc_id", "band_id", "band_key")
+                         .unionAll(bands_arr))
+        else:
+            dist_all, bands_all = dist_arr, bands_arr
+        a = bands_arr.alias("a")
+        b = bands_all.alias("b")
+        cand = (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+                       & (F.col("a.band_key") == F.col("b.band_key"))
+                       & (F.col("a.doc_id") != F.col("b.doc_id")))
+                .select(F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+                        F.greatest("a.doc_id", "b.doc_id").alias("doc_b"))
+                .distinct())
+        pairs = _verify_jaccard(cand, dist_all)
+        pairs.write.mode("overwrite").parquet(f"{pairs_dir}/batch={batch_id}")
+        dist_arr.write.mode("overwrite") \
+            .parquet(f"{index_dir}/dist/batch={batch_id}")
+        bands_arr.write.mode("overwrite") \
+            .parquet(f"{index_dir}/bands/batch={batch_id}")
+        for df in (batch_docs, dist_arr, bands_arr):
+            df.unpersist()
+
+    writer = (stream.writeStream.foreachBatch(_process)
+              .option("checkpointLocation", checkpoint_path))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
