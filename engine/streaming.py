@@ -59,6 +59,42 @@ def stream_extract(spark: SparkSession, input_path: str, output_path: str,
     return writer.start()
 
 
+def stream_extract_batched(spark: SparkSession, input_path: str,
+                           output_path: str, checkpoint_path: str,
+                           query: str, available_now: bool = True,
+                           plan_probe: list | None = None):
+    """Streaming extraction WITH the JVM prose fast path (VERDICT r3
+    item 4): a foreachBatch job that persists each micro-batch once
+    and runs the two-branch extract (markup rows → Arrow kernel; prose
+    rows → codegen'd JVM envelope) over the cache — the branch union
+    reads the micro-batch's files ONCE instead of once per branch (the
+    documented constraint that forced stream_extract to pin
+    jvm_prose_fast_path=False).  Output is per-batch-id overwrite
+    partitions, so replayed batches are exactly-once (same pattern as
+    stream_dedup_neardup and the crash test).
+
+    ``plan_probe``: test hook — when a list is passed, each
+    micro-batch's executed-plan string is appended so tests can assert
+    the prose rows bypass MapInPandas inside the micro-batch."""
+    stream = read_transcript_stream(spark, input_path)
+
+    def _process(batch_df, batch_id):
+        batch = batch_df.persist()
+        extracted = extract_turns(batch, query, jvm_prose_fast_path=True)
+        if plan_probe is not None:
+            plan_probe.append(
+                extracted._jdf.queryExecution().executedPlan().toString())
+        extracted.write.mode("overwrite") \
+            .parquet(f"{output_path}/batch={batch_id}")
+        batch.unpersist()
+
+    writer = (stream.writeStream.foreachBatch(_process)
+              .option("checkpointLocation", checkpoint_path))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 CONV_STATE_SCHEMA = "n_turns LONG, n_records LONG, max_turn_idx LONG"
 CONV_PROGRESS_SCHEMA = ("conv_id STRING, n_turns LONG, n_records LONG, "
                         "max_turn_idx LONG")

@@ -37,6 +37,52 @@ def test_stream_extract_incremental_with_checkpoint(spark, tmp_path):
     assert total.select("conv_id", "turn_idx").distinct().count() == 90
 
 
+def test_stream_extract_batched_fast_path(spark, tmp_path):
+    """foreachBatch extraction with the JVM prose fast path: output
+    must equal the in-kernel-skip streaming path, each micro-batch's
+    plan must show ONE markup-gated MapInPandas with both union
+    branches reading the persisted micro-batch (InMemoryTableScan) —
+    i.e. the prose rows bypass Arrow and the files are read once —
+    and a checkpointed re-drain stays incremental."""
+    from engine.streaming import stream_extract_batched
+
+    inp = str(tmp_path / "in")
+    out_a = str(tmp_path / "out_a")
+    out_b = str(tmp_path / "out_b")
+
+    _write_batch(spark, inp, 10)
+
+    plans: list = []
+    q = stream_extract_batched(spark, inp, out_a, str(tmp_path / "cp_a"),
+                               CANONICAL_QUERY, plan_probe=plans)
+    q.awaitTermination(120)
+    q2 = stream_extract(spark, inp, out_b, str(tmp_path / "cp_b"),
+                        CANONICAL_QUERY)
+    q2.awaitTermination(120)
+
+    cols = ["conv_id", "turn_idx", "status", "n_results", "message"]
+    a = sorted(map(tuple, spark.read.parquet(out_a).select(*cols).collect()))
+    b = sorted(map(tuple, spark.read.parquet(out_b).select(*cols).collect()))
+    assert a == b and len(a) == 60
+
+    assert plans, "plan probe captured nothing"
+    for plan in plans:
+        assert plan.count("MapInPandas") == 1
+        assert "Union" in plan
+        # both branches read the persisted micro-batch, not the files
+        assert plan.count("InMemoryTableScan") >= 2
+        assert "FileScan" not in plan.split("InMemoryRelation")[0]
+
+    # incremental re-drain against the same checkpoint
+    _write_batch(spark, inp, 5, offset=1)
+    q3 = stream_extract_batched(spark, inp, out_a, str(tmp_path / "cp_a"),
+                                CANONICAL_QUERY)
+    q3.awaitTermination(120)
+    total = spark.read.parquet(out_a)
+    assert total.count() == 90
+    assert total.select("conv_id", "turn_idx").distinct().count() == 90
+
+
 def test_stateful_conversation_progress_resumes_across_restarts(spark, tmp_path):
     """applyInPandasWithState: per-conversation counters accumulate
     across micro-batches AND across restarts (state store in the
