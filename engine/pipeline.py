@@ -111,11 +111,15 @@ def _input_fingerprint(spark: SparkSession, path: str) -> str:
 
 
 def _config_fingerprint(cfg: JobConfig) -> str:
+    """Fingerprint of the SHARED job knobs.  The query text is NOT
+    here — it is folded into each query's own lineage snapshot
+    (_query_snapshots), so in multi-query mode adding or changing one
+    query invalidates only that query's buckets."""
     import hashlib
     import json as _json
 
     payload = _json.dumps({
-        "query": cfg.query, "queries": cfg.queries, "roles": cfg.roles,
+        "roles": cfg.roles,
         "n_buckets": cfg.n_buckets,
         "similarity_threshold": cfg.similarity_threshold,
         "matcher": cfg.matcher,
@@ -123,13 +127,40 @@ def _config_fingerprint(cfg: JobConfig) -> str:
     return hashlib.md5(payload.encode()).hexdigest()[:8]
 
 
+def _query_snapshots(cfg: JobConfig, input_base: str) -> dict:
+    """query_id -> lineage snapshot string.  Single-query mode uses the
+    key None (lineage rows carry query_id = NULL)."""
+    import hashlib
+
+    shared = _config_fingerprint(cfg)
+
+    def qhash(text: str) -> str:
+        return hashlib.md5((text or "").encode()).hexdigest()[:8]
+
+    if cfg.queries:
+        return {qid: f"{input_base}|cfg:{shared}|q:{qid}:{qhash(q)}"
+                for qid, q in cfg.queries.items()}
+    return {None: f"{input_base}|cfg:{shared}|q:{qhash(cfg.query)}"}
+
+
 class SnapshotMismatch(RuntimeError):
     """Resume attempted against an input that changed since the first
     run (different snapshot fingerprint in lineage)."""
 
 
-def _completed_buckets(spark: SparkSession, cfg: JobConfig,
-                       input_snapshot: str) -> set:
+def _completed_work(spark: SparkSession, cfg: JobConfig, input_base: str,
+                    snaps: dict) -> set:
+    """Completed (query_id, bucket) pairs from lineage.
+
+    Raises SnapshotMismatch when (a) ANY lineage row was written for a
+    different input content (its snapshot does not start with this
+    input's fingerprint — mixing inputs is never safe), or (b) a row
+    for one of THIS run's queries carries a different per-query
+    snapshot (the query text or shared config changed — resuming would
+    silently mix incompatible results).  Lineage rows for query_ids
+    NOT in this run are ignored: their output partitions are disjoint
+    ((bucket, query_id) partitioning), which is what lets one query's
+    buckets stay complete while another query's process."""
     # cheap existence probe for local paths avoids a noisy (benign)
     # FileNotFoundException WARN on every first run
     if "://" not in cfg.lineage_path and not os.path.exists(cfg.lineage_path):
@@ -138,30 +169,46 @@ def _completed_buckets(spark: SparkSession, cfg: JobConfig,
         lineage = spark.read.schema(LINEAGE_SCHEMA).parquet(cfg.lineage_path)
     except Exception:
         return set()
-    rows = lineage.select("bucket", "input_snapshot").distinct().collect()
-    stale = {r.input_snapshot for r in rows} - {input_snapshot}
-    if stale:
+    rows = (lineage.select("query_id", "bucket", "input_snapshot")
+            .distinct().collect())
+    bad_input = {r.input_snapshot for r in rows
+                 if not (r.input_snapshot or "").startswith(input_base + "|")}
+    if bad_input:
         raise SnapshotMismatch(
             f"lineage at {cfg.lineage_path} was written for input "
-            f"snapshot(s) {sorted(stale)} but the input now fingerprints "
-            f"as {input_snapshot}; refusing to mix snapshots (restart "
-            f"against a fresh lineage/output path, or on Iceberg pin the "
-            f"original snapshot-id so the input content is truly stable)")
-    return {r.bucket for r in rows}
+            f"snapshot(s) {sorted(bad_input)} but the input now "
+            f"fingerprints as {input_base}; refusing to mix snapshots "
+            f"(restart against a fresh lineage/output path, or on Iceberg "
+            f"pin the original snapshot-id so the input content is truly "
+            f"stable)")
+    done = set()
+    for r in rows:
+        if r.query_id in snaps:
+            if r.input_snapshot != snaps[r.query_id]:
+                raise SnapshotMismatch(
+                    f"lineage row for query {r.query_id!r} was written "
+                    f"under snapshot {r.input_snapshot} but this run "
+                    f"fingerprints it as {snaps[r.query_id]} (query text "
+                    f"or shared config changed); refusing to mix")
+            done.add((r.query_id, r.bucket))
+    return done
 
 
 def _write_output(df: DataFrame, cfg: JobConfig) -> None:
-    """Idempotent per-bucket write: a crash between a bucket's output
-    write and its lineage commit means the bucket re-runs on resume —
-    dynamic partition OVERWRITE replaces exactly the re-run buckets'
+    """Idempotent per-unit write: a crash between a unit's output
+    write and its lineage commit means the unit re-runs on resume —
+    dynamic partition OVERWRITE replaces exactly the re-run units'
     partitions instead of appending duplicates.  (Iceberg gets the
-    same via overwritePartitions.)"""
+    same via overwritePartitions.)  Multi-query mode partitions by
+    (bucket, query_id), so re-running ONE query's buckets cannot
+    clobber another query's completed output in the same buckets."""
     if cfg.io_format == "iceberg":
         df.writeTo(cfg.output_path).overwritePartitions()
     else:
+        part_cols = ["bucket", "query_id"] if cfg.queries else ["bucket"]
         (df.write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
-         .partitionBy("bucket").parquet(cfg.output_path))
+         .partitionBy(*part_cols).parquet(cfg.output_path))
 
 
 class SimulatedFailure(RuntimeError):
@@ -185,22 +232,36 @@ def run_extraction_job(spark: SparkSession, cfg: JobConfig) -> dict:
         input_base = cfg.input_path
     # the resume identity covers the JOB CONFIG too: resuming half-done
     # output with a different query / bucket count would silently mix
-    # incompatible results, so those knobs are folded into the snapshot
-    input_snapshot = f"{input_base}|cfg:{_config_fingerprint(cfg)}"
+    # incompatible results.  Shared knobs + the query text are folded
+    # into PER-QUERY snapshots, so the lineage grain is (bucket,
+    # query_id): one query's buckets can be complete while another's
+    # resume, and adding a query to a finished run computes only the
+    # new query (VERDICT r3 item 7).
+    snaps = _query_snapshots(cfg, input_base)
 
-    done = _completed_buckets(spark, cfg, input_snapshot)
-    pending = [b for b in range(cfg.n_buckets) if b not in done]
-    if not pending:
+    done = _completed_work(spark, cfg, input_base, snaps)
+    # a bucket's WORK UNIT is the tuple of queries still pending for
+    # it; buckets sharing a pending set run together in one pass (the
+    # multi-query fast path shares their scan + DOM parse), buckets
+    # with different pending sets run in separate passes
+    units: dict = {}
+    for b in range(cfg.n_buckets):
+        qs = tuple(qid for qid in snaps if (qid, b) not in done)
+        if qs:
+            units.setdefault(qs, []).append(b)
+    if not units:
         return {"run_id": cfg.run_id, "buckets_processed": 0, "resumed": True}
 
-    group_size = cfg.buckets_per_commit or len(pending)
-    groups: List[List[int]] = [pending[i:i + group_size]
-                               for i in range(0, len(pending), group_size)]
+    all_groups: List[tuple] = []  # (pending query_ids, bucket group)
+    for qs, buckets in units.items():
+        group_size = cfg.buckets_per_commit or len(buckets)
+        for i in range(0, len(buckets), group_size):
+            all_groups.append((qs, buckets[i:i + group_size]))
 
     shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     buckets_processed = 0
 
-    for gi, group in enumerate(groups):
+    for gi, (qs, group) in enumerate(all_groups):
         t0 = time.time()
         part = df.filter(F.col("bucket").isin(group))
 
@@ -209,7 +270,8 @@ def run_extraction_job(spark: SparkSession, cfg: JobConfig) -> dict:
         # prose rows flow scan -> output with no shuffle
         matcher_factory = matcher_factory_from_name(cfg.matcher)
         if cfg.queries:
-            extracted = extract_turns_multi(part.drop("bucket"), cfg.queries,
+            sub = {qid: cfg.queries[qid] for qid in qs}
+            extracted = extract_turns_multi(part.drop("bucket"), sub,
                                             cfg.similarity_threshold,
                                             matcher_factory=matcher_factory,
                                             salt_partitions=shuffle_n,
@@ -249,17 +311,17 @@ def run_extraction_job(spark: SparkSession, cfg: JobConfig) -> dict:
             written = spark.read.parquet(cfg.output_path)
         written = written.filter(F.col("bucket").isin(group))
         if cfg.queries:
-            # multi-query mode emits one row per (turn, query); lineage
-            # keeps rows_in at input-TURN granularity so sum(rows_in)
-            # still reconciles against the input table
-            stats = written.groupBy("bucket").agg(
-                F.countDistinct("conv_id", "turn_idx").alias("rows_in"),
+            # one lineage row per (bucket, query): rows_in is that
+            # query's input-turn count for the bucket, so per query
+            # sum(rows_in) reconciles against the input table
+            written = written.filter(F.col("query_id").isin(list(qs)))
+            stats = written.groupBy("bucket", "query_id").agg(
+                F.count("*").alias("rows_in"),
                 F.sum("n_results").alias("rows_out"),
-                F.countDistinct(F.when(F.col("status") == "parse_error",
-                                       F.concat_ws("\u0001", "conv_id",
-                                                   "turn_idx")))
+                F.sum(F.when(F.col("status") == "parse_error", 1).otherwise(0))
                  .alias("parse_failures"),
             ).collect()
+            stat_by_key = {(r.query_id, r.bucket): r for r in stats}
         else:
             stats = written.groupBy("bucket").agg(
                 F.count("*").alias("rows_in"),
@@ -267,24 +329,25 @@ def run_extraction_job(spark: SparkSession, cfg: JobConfig) -> dict:
                 F.sum(F.when(F.col("status") == "parse_error", 1).otherwise(0))
                  .alias("parse_failures"),
             ).collect()
+            stat_by_key = {(None, r.bucket): r for r in stats}
         wall_ms = int((time.time() - t0) * 1000)
-        stat_by_bucket = {r.bucket: r for r in stats}
         lineage_rows = []
-        for b in group:
-            r = stat_by_bucket.get(b)
-            lineage_rows.append((
-                b, input_snapshot,
-                int(r.rows_in) if r else 0,
-                int(r.rows_out or 0) if r else 0,
-                int(r.parse_failures) if r else 0,
-                wall_ms, cfg.run_id,
-            ))
+        for qid in qs:
+            for b in group:
+                r = stat_by_key.get((qid, b))
+                lineage_rows.append((
+                    b, snaps[qid],
+                    int(r.rows_in) if r else 0,
+                    int(r.rows_out or 0) if r else 0,
+                    int(r.parse_failures) if r else 0,
+                    wall_ms, cfg.run_id, qid,
+                ))
         spark.createDataFrame(lineage_rows, LINEAGE_SCHEMA) \
             .coalesce(1).write.mode("append").parquet(cfg.lineage_path)
         buckets_processed += len(group)
 
         if cfg.fail_after_groups and gi + 1 >= cfg.fail_after_groups \
-                and gi + 1 < len(groups):
+                and gi + 1 < len(all_groups):
             raise SimulatedFailure(
                 f"injected failure after commit group {gi + 1}")
 

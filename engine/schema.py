@@ -40,8 +40,11 @@ RESULTS_SCHEMA = StructType([
     StructField("text_nbytes", LongType(), False),
 ])
 
-# Per-bucket lineage row (north rule: partition id, input snapshot,
-# rows in/out, parse-failure counts) enabling exact resume.
+# Per-(bucket, query) lineage row (north rule: partition id, input
+# snapshot, rows in/out, parse-failure counts) enabling exact resume.
+# ``query_id`` is NULL in single-query mode; in multi-query mode each
+# query commits its buckets independently, so one query's buckets can
+# be complete while another's resume (VERDICT r3 item 7).
 LINEAGE_SCHEMA = StructType([
     StructField("bucket", IntegerType(), False),
     StructField("input_snapshot", StringType(), True),
@@ -50,4 +53,5 @@ LINEAGE_SCHEMA = StructType([
     StructField("parse_failures", LongType(), False),
     StructField("wall_ms", LongType(), False),
     StructField("run_id", StringType(), True),
+    StructField("query_id", StringType(), True),
 ])

@@ -124,9 +124,96 @@ def test_multi_query_crash_before_lineage_no_duplicates(spark, tmp_path):
     b = (spark.read.parquet(ref.output_path).select(*cols)
          .orderBy(*cols).collect())
     assert a == b
-    # lineage rows_in reconciles at input-turn granularity
+    # lineage is per (bucket, query): EACH query's rows_in reconciles
+    # against the input-turn count independently
     lin = spark.read.parquet(cfg.lineage_path)
-    assert lin.agg(F.sum("rows_in")).first()[0] == 48
+    per_query = {r.query_id: r.total for r in
+                 lin.groupBy("query_id")
+                 .agg(F.sum("rows_in").alias("total")).collect()}
+    assert per_query == {"a": 48, "b": 48}
+
+
+def test_multi_query_per_query_resume(spark, tmp_path):
+    """The (bucket, query_id) lineage grain (VERDICT r3 item 7): after
+    query 'a' completes, adding query 'b' to the same output/lineage
+    computes ONLY b — a's buckets stay complete (its lineage rows keep
+    the first run's run_id and its output partitions are untouched),
+    and a third run is a no-op."""
+    from engine.pipeline import JobConfig, run_extraction_job
+
+    inp = str(tmp_path / "in")
+    synth_transcripts(spark, n_conversations=8, turns_per_conv=6) \
+        .write.parquet(inp)
+    out = str(tmp_path / "out")
+    lin = str(tmp_path / "lin")
+
+    m1 = run_extraction_job(spark, JobConfig(
+        input_path=inp, output_path=out, lineage_path=lin,
+        query="", queries={"a": CANONICAL_QUERY}, n_buckets=4))
+    assert m1["buckets_processed"] == 4 and m1["resumed"] is False
+    a_rows_first = (spark.read.parquet(out)
+                    .filter(F.col("query_id") == "a")
+                    .select("conv_id", "turn_idx", "n_results", "status")
+                    .orderBy("conv_id", "turn_idx").collect())
+
+    # add query b: only b's buckets run
+    m2 = run_extraction_job(spark, JobConfig(
+        input_path=inp, output_path=out, lineage_path=lin,
+        query="", queries={"a": CANONICAL_QUERY,
+                           "b": QUERIES["q_title"]}, n_buckets=4))
+    assert m2["buckets_processed"] == 4 and m2["resumed"] is True
+
+    lineage = spark.read.parquet(lin)
+    by_q = {r.query_id: r for r in
+            lineage.groupBy("query_id")
+            .agg(F.countDistinct("bucket").alias("n_buckets"),
+                 F.countDistinct("run_id").alias("n_runs"),
+                 F.sum("rows_in").alias("rows_in")).collect()}
+    assert by_q["a"].n_buckets == 4 and by_q["b"].n_buckets == 4
+    assert by_q["a"].rows_in == 48 and by_q["b"].rows_in == 48
+    # a was NOT recomputed: all its lineage rows are from run 1
+    a_runs = {r.run_id for r in
+              lineage.filter(F.col("query_id") == "a")
+              .select("run_id").distinct().collect()}
+    assert a_runs == {m1["run_id"]}
+
+    # a's output is byte-identical to before b ran
+    a_rows_after = (spark.read.parquet(out)
+                    .filter(F.col("query_id") == "a")
+                    .select("conv_id", "turn_idx", "n_results", "status")
+                    .orderBy("conv_id", "turn_idx").collect())
+    assert a_rows_after == a_rows_first
+    assert spark.read.parquet(out).count() == 48 * 2
+
+    # both queries complete -> no-op
+    m3 = run_extraction_job(spark, JobConfig(
+        input_path=inp, output_path=out, lineage_path=lin,
+        query="", queries={"a": CANONICAL_QUERY,
+                           "b": QUERIES["q_title"]}, n_buckets=4))
+    assert m3["buckets_processed"] == 0 and m3["resumed"] is True
+
+
+def test_multi_query_changed_text_invalidates_only_that_query(spark, tmp_path):
+    """Changing ONE query's text must refuse to silently mix: the
+    changed query's lineage snapshot mismatches and the job raises."""
+    import pytest
+
+    from engine.pipeline import (JobConfig, SnapshotMismatch,
+                                 run_extraction_job)
+
+    inp = str(tmp_path / "in")
+    synth_transcripts(spark, n_conversations=4, turns_per_conv=3) \
+        .write.parquet(inp)
+    out = str(tmp_path / "out")
+    lin = str(tmp_path / "lin")
+
+    run_extraction_job(spark, JobConfig(
+        input_path=inp, output_path=out, lineage_path=lin,
+        query="", queries={"a": CANONICAL_QUERY}, n_buckets=2))
+    with pytest.raises(SnapshotMismatch):
+        run_extraction_job(spark, JobConfig(
+            input_path=inp, output_path=out, lineage_path=lin,
+            query="", queries={"a": QUERIES["q_title"]}, n_buckets=2))
 
 
 def test_multi_query_id_column_first(spark):
