@@ -122,10 +122,12 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
     # analytics operators at scale (skipped in scaling-only mode)
     analytics_names = [] if os.environ.get("SPARK_GRAFT_SCALING_ONLY") else [
         "dedup_exact", "dedup_minhash_lsh", "dedup_minhash_incremental",
-        "dedup_ngram_jaccard",
+        "dedup_clusters", "dedup_ngram_jaccard",
         "dedup_simhash", "simhash_hamming_candidates",
-        "dedup_embedding_cosine", "ann_cosine_topk", "ann_lsh_top1",
-        "ann_ivf_topk", "winnowing_overlap",
+        "dedup_embedding_cosine", "dedup_span_exact",
+        "ann_cosine_topk", "ann_lsh_top1",
+        "ann_ivf_topk", "ann_ivf_sampled_topk", "winnowing_overlap",
+        "decontaminate_ngram", "gopher_repetition",
         "sessionize", "group_winner_rank", "turn_order_window",
         "quality_score", "token_count", "pii_scrub", "cleaning_pass",
         "boilerplate_strip", "pdf_extract"]

@@ -743,16 +743,28 @@ def q_dedup_simhash(spark, sf_dir):
 
 # near-dup candidates need near-dups to exist: augment the corpus with
 # deterministically perturbed copies (one token appended, doc_id
-# offset) so the Hamming join provably surfaces the planted pairs —
-# both engines build the same augmented input from the same literals.
-_PERTURB_OFFSET = 1_000_000
-
-_DUCK_SIMHASH_SRC = f"""(
+# offset by max(doc_id)+1 — derived, never colliding with natural ids
+# at any corpus size, ADVICE r3) so the Hamming join provably surfaces
+# the planted pairs — both engines build the same augmented input.
+_DUCK_SIMHASH_SRC = """(
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + {_PERTURB_OFFSET} AS doc_id, text || ' zzperturb'
+  SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents) AS doc_id,
+         text || ' zzperturb'
   FROM documents WHERE doc_id % 5 = 0
 )"""
+
+# Per-(chunk, value) bucket cap for the Hamming candidate join: the
+# 16-bit chunk key space saturates as the corpus grows (avg bucket =
+# n/65536 per band), and the candidate join is QUADRATIC in bucket
+# population — measured 13.9× wall at 10× rows in the r4 decade run
+# (BENCH/FLOOR.md).  The deterministic cap (lowest doc_ids survive,
+# mirrored in the oracle) bounds a bucket's contribution to
+# CAP·(CAP-1)/2 pairs, trading recall in saturated buckets — the same
+# trade as every other capped candidate generator here.  Past ~10^6
+# docs the principled fix is a longer sketch with more/wider chunks
+# (e.g. 128-bit, 8×16) so the key space keeps pace.
+_SIMHASH_BUCKET_CAP = 128
 
 _DUCK_HAMMING = f"""
 WITH chunks AS ({_DUCK_SIMHASH_CHUNKS.format(src=_DUCK_SIMHASH_SRC)}),
@@ -760,9 +772,15 @@ bands AS (
   {' UNION ALL '.join(
       f"SELECT doc_id, {c} AS band_id, c{c} AS band_key FROM chunks"
       for c in range(_SIMHASH_CHUNKS))}
+), capped AS (
+  SELECT doc_id, band_id, band_key FROM (
+    SELECT doc_id, band_id, band_key,
+           ROW_NUMBER() OVER (PARTITION BY band_id, band_key
+                              ORDER BY doc_id) AS brn
+    FROM bands) WHERE brn <= {_SIMHASH_BUCKET_CAP}
 ), cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
+  FROM capped a JOIN capped b
     ON a.band_id = b.band_id AND a.band_key = b.band_key
    AND a.doc_id < b.doc_id
 )
@@ -782,21 +800,30 @@ def q_simhash_hamming_candidates(spark, sf_dir):
     """Hamming-neighbor join over the 64-bit simhash: pairs within
     Hamming distance 3 agree on ≥1 of the 4 16-bit chunks (pigeonhole),
     so candidates come from 4 chunk-equality joins (posexplode → one
-    banded self-join — the dedup_minhash_lsh shape), then the exact
-    distance filters.  Proves the sketch is USABLE for near-dup
-    retrieval, not just computable: the corpus is augmented with
-    deterministic one-token perturbations whose pairs the join must
-    surface."""
+    banded self-join — the dedup_minhash_lsh shape) with a
+    deterministic per-bucket cap of _SIMHASH_BUCKET_CAP = 128 (the
+    16-bit key space saturates quadratically as the corpus grows —
+    measured in the r4 decade run), then the exact distance filters.
+    The sketch is PERSISTED: its subtree is referenced three times
+    (bands + both verify sides) and recomputing the token-voting
+    simhash per reference dominated the 10× wall.  Proves the sketch
+    is USABLE for near-dup retrieval, not just computable: the corpus
+    is augmented with deterministic one-token perturbations (ids
+    offset by max(doc_id)+1) whose pairs the join must surface."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    poff = int(docs.agg(F.max("doc_id")).first()[0]) + 1
     perturbed = (docs.filter(F.col("doc_id") % 5 == 0)
-                 .select((F.col("doc_id") + _PERTURB_OFFSET).alias("doc_id"),
+                 .select((F.col("doc_id") + poff).alias("doc_id"),
                          F.concat(F.col("text"), F.lit(" zzperturb"))
                           .alias("text")))
-    chunks = _simhash_chunks(docs.unionAll(perturbed))
-    bands = chunks.select(
+    chunks = _simhash_chunks(docs.unionAll(perturbed)).persist()
+    wb = Window.partitionBy("band_id", "band_key").orderBy("doc_id")
+    bands = (chunks.select(
         "doc_id", F.posexplode(F.array(*[
             F.col(f"c{c}") for c in range(_SIMHASH_CHUNKS)]))
         .alias("band_id", "band_key"))
+        .withColumn("brn", F.row_number().over(wb))
+        .filter(F.col("brn") <= _SIMHASH_BUCKET_CAP).drop("brn"))
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
@@ -1042,6 +1069,233 @@ def q_quality_signals(spark, sf_dir):
         .alias("stopword_ratio"),
         ((stops >= 0.02 * ntok) & (punct <= 0.2 * total)
          & ntok.between(10, 100000)).cast("int").alias("keep"))
+
+
+def _h64(col: str) -> str:
+    """60-bit MD5-prefix hash of a string expression — Spark side (the
+    shared int-hash trick from _SPARK_SH_HASH, parameterized)."""
+    return (f"cast(conv(substr(md5(cast({col} as binary)), 18, 15), "
+            f"16, 10) as bigint)")
+
+
+def _duck_h64(col: str) -> str:
+    return f"('0x' || substr(md5({col}), 18, 15))::BIGINT"
+
+
+_DUCK_GOPHER = f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+  WHERE len({_DUCK_TOKS}) >= 3
+), tri AS (
+  SELECT doc_id, len(t) AS n_tokens,
+         len(t) - 2 AS n_tri,
+         len(list_distinct(list_transform(range(1, len(t) - 1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS n_tri_distinct
+  FROM toks
+), big AS (
+  SELECT doc_id, MAX(c) AS top_big, SUM(c) AS n_big FROM (
+    SELECT doc_id, bg, COUNT(*) AS c FROM (
+      SELECT doc_id, unnest(list_transform(range(1, len(t)),
+               i -> t[i] || ' ' || t[i+1])) AS bg
+      FROM toks)
+    GROUP BY doc_id, bg)
+  GROUP BY doc_id
+)
+SELECT tri.doc_id, CAST(tri.n_tokens AS BIGINT) AS n_tokens,
+       FLOOR(10000.0 * (tri.n_tri - tri.n_tri_distinct) / tri.n_tri)
+         / 10000 AS frac_dup_3gram,
+       FLOOR(10000.0 * big.top_big / big.n_big) / 10000
+         AS top_bigram_share
+FROM tri JOIN big ON big.doc_id = tri.doc_id
+"""
+
+
+@register("gopher_repetition", _DUCK_GOPHER)
+def q_gopher_repetition(spark, sf_dir):
+    """Gopher-style within-document repetition signals (Rae et al.,
+    "Scaling Language Models" §A1.2 quality heuristics — public
+    paper): the duplicate-3-gram fraction and the share of the most
+    frequent bigram.  High values flag boilerplate/spam before any
+    cross-document dedup runs.
+
+    Scale shape: the 3-gram fraction is a pure per-row projection
+    (array HOFs, no shuffle); the top-bigram share needs a per-doc
+    mode, computed as explode → two map-side-combinable aggregations
+    over 8-byte bigram hashes — never a window sort.  Ratios are
+    floor-rounded to 4 dp for cross-engine hash equality."""
+    toks = (_t(spark, sf_dir, "documents")
+            .repartition(spark.sparkContext.defaultParallelism)
+            .select("doc_id", F.expr(_SPARK_TOKS).alias("t"))
+            .filter(F.expr("size(t) >= 3")))
+    tri_expr = ("transform(sequence(1, size(t) - 2), i -> "
+                "concat(element_at(t, i), ' ', element_at(t, i + 1), "
+                "' ', element_at(t, i + 2)))")
+    tri = toks.select(
+        "doc_id",
+        F.expr("size(t)").cast("long").alias("n_tokens"),
+        F.expr("size(t) - 2").alias("n_tri"),
+        F.expr(f"size(array_distinct({tri_expr}))").alias("n_tri_distinct"))
+    big_expr = ("transform(sequence(1, size(t) - 1), i -> "
+                "concat(element_at(t, i), ' ', element_at(t, i + 1)))")
+    bigr = (toks.select("doc_id", F.explode(F.expr(big_expr)).alias("bg"))
+            .select("doc_id", F.expr(_h64("bg")).alias("h"))
+            .groupBy("doc_id", "h").agg(F.count("*").alias("c"))
+            .groupBy("doc_id").agg(F.max("c").alias("top_big"),
+                                   F.sum("c").alias("n_big")))
+    return (tri.join(bigr, "doc_id")
+            .select("doc_id", "n_tokens",
+                    (F.floor(10000.0 * (F.col("n_tri")
+                                        - F.col("n_tri_distinct"))
+                             / F.col("n_tri")) / 10000)
+                    .alias("frac_dup_3gram"),
+                    (F.floor(10000.0 * F.col("top_big") / F.col("n_big"))
+                     / 10000).alias("top_bigram_share")))
+
+
+_DECON_N = 13  # n-gram width — the standard decontamination setting
+
+
+_DUCK_DECON = f"""
+WITH base AS (SELECT doc_id, text FROM documents),
+inject AS (
+  SELECT array_to_string(list_slice({_DUCK_TOKS}, 1, {_DECON_N}), ' ')
+    AS frag
+  FROM base WHERE doc_id = 0
+), aug AS (
+  SELECT b.doc_id,
+         CASE WHEN b.doc_id % 10 = 3 AND b.doc_id % 97 <> 0
+              THEN b.text || ' ' || i.frag ELSE b.text END AS text
+  FROM base b, inject i
+), toks AS (
+  SELECT doc_id, {_DUCK_TOKS} AS t FROM aug
+  WHERE len({_DUCK_TOKS}) >= {_DECON_N}
+), grams AS (
+  SELECT DISTINCT doc_id, {_duck_h64("g")} AS h FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t) - {_DECON_N} + 2),
+             i -> array_to_string(list_slice(t, i, i + {_DECON_N} - 1),
+                                  ' '))) AS g
+    FROM toks)
+), bench AS (
+  SELECT DISTINCT h FROM grams WHERE doc_id % 97 = 0
+)
+SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated_ngrams
+FROM grams g JOIN bench b ON b.h = g.h
+WHERE g.doc_id % 97 <> 0
+GROUP BY g.doc_id
+"""
+
+
+@register("decontaminate_ngram", _DUCK_DECON)
+def q_decontaminate_ngram(spark, sf_dir):
+    """Benchmark DECONTAMINATION — the training-data op that removes
+    documents overlapping an evaluation set (the 13-gram-collision
+    rule used by GPT-3/PaLM appendix dedup, public papers): documents
+    sharing any 13-token n-gram with the benchmark set are flagged
+    with their collision count.
+
+    Here the "benchmark" is the deterministic corpus slice
+    doc_id % 97 == 0, and every (doc_id % 10 == 3) document is PLANTED
+    with benchmark doc 0's opening 13-gram so the flagged set is
+    non-empty by construction (same plant-over-natural-corpus pattern
+    as the ANN family; the natural word-soup corpus shares no
+    13-grams).
+
+    Scale shape: the benchmark n-gram set is tiny relative to the
+    corpus (an eval suite, not a crawl), so it is DISTINCT-ed and
+    BROADCAST against the corpus gram stream — one scan of the
+    corpus, no shuffle of the big side; grams travel as 8-byte
+    hashes."""
+    docs = (_t(spark, sf_dir, "documents")
+            .repartition(spark.sparkContext.defaultParallelism)
+            .select("doc_id", "text"))
+    inject = (docs.filter(F.col("doc_id") == 0)
+              .select(F.expr(
+                  f"array_join(slice({_SPARK_TOKS}, 1, {_DECON_N}), ' ')")
+                  .alias("frag")))
+    aug = (docs.crossJoin(F.broadcast(inject))
+           .select("doc_id",
+                   F.when((F.col("doc_id") % 10 == 3)
+                          & (F.col("doc_id") % 97 != 0),
+                          F.concat_ws(" ", "text", "frag"))
+                   .otherwise(F.col("text")).alias("text")))
+    toks = (aug.select("doc_id", F.expr(_SPARK_TOKS).alias("t"))
+            .filter(F.expr(f"size(t) >= {_DECON_N}")))
+    gram_expr = (f"transform(sequence(1, size(t) - {_DECON_N} + 1), "
+                 f"i -> array_join(slice(t, i, {_DECON_N}), ' '))")
+    grams = (toks.select("doc_id", F.explode(F.expr(gram_expr)).alias("g"))
+             .select("doc_id", F.expr(_h64("g")).alias("h")).distinct())
+    bench = (grams.filter(F.col("doc_id") % 97 == 0)
+             .select("h").distinct())
+    return (grams.filter(F.col("doc_id") % 97 != 0)
+            .join(F.broadcast(bench), "h")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_contaminated_ngrams")))
+
+
+_SPAN_W = 20  # tokens per span — the exact-substring-dedup granularity
+
+
+_DUCK_SPAN_DEDUP = f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+), spans AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS idx, {_duck_h64("u.sp")} AS h
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(0, len(t) // {_SPAN_W}),
+             i -> {{'i': i, 'sp': array_to_string(
+                     list_slice(t, i * {_SPAN_W} + 1,
+                                (i + 1) * {_SPAN_W}), ' ')}})) AS u
+    FROM toks)
+), keepers AS (
+  SELECT h, MIN(ROW(doc_id, idx)) AS k FROM spans GROUP BY h
+)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN ROW(s.doc_id, s.idx) = k.k THEN 0 ELSE 1 END)
+            AS BIGINT) AS n_dup_spans
+FROM spans s JOIN keepers k ON k.h = s.h
+GROUP BY s.doc_id
+"""
+
+
+@register("dedup_span_exact", _DUCK_SPAN_DEDUP)
+def q_dedup_span_exact(spark, sf_dir):
+    """SPAN-level exact dedup — the within/cross-document granularity
+    of Lee et al.'s "Deduplicating Training Data Makes Language Models
+    Better" (public paper), approximated at fixed 20-token windows:
+    every document's token stream is cut into consecutive 20-token
+    spans, the global FIRST occurrence of each span (lexicographically
+    smallest (doc_id, idx)) is the keeper, and each document reports
+    how many of its spans are duplicates of an earlier occurrence —
+    the quantity a span-rewriting cleaner would drop.
+
+    Scale shape: spans travel as 8-byte hashes; the keeper argmin is a
+    partial-aggregable min(struct(doc_id, idx)) (map-side combine, no
+    window sort), and the flag join is hash-keyed.  Exact duplicates
+    of whole documents show up as every span duplicated; partial
+    overlap (shared boilerplate runs) is localized to the shared
+    spans."""
+    toks = (_t(spark, sf_dir, "documents")
+            .repartition(spark.sparkContext.defaultParallelism)
+            .select("doc_id", F.expr(_SPARK_TOKS).alias("t")))
+    span_expr = (f"transform(sequence(0, cast(floor(size(t) / {_SPAN_W}) "
+                 f"as int) - 1), i -> "
+                 f"array_join(slice(t, i * {_SPAN_W} + 1, {_SPAN_W}), ' '))")
+    spans = (toks.filter(F.expr(f"size(t) >= {_SPAN_W}"))
+             .select("doc_id",
+                     F.posexplode(F.expr(span_expr)).alias("idx", "sp"))
+             .select("doc_id", F.col("idx").cast("long").alias("idx"),
+                     F.expr(_h64("sp")).alias("h")))
+    keepers = spans.groupBy("h").agg(
+        F.min(F.struct("doc_id", "idx")).alias("k"))
+    return (spans.join(keepers, "h")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_spans"),
+                 F.sum(F.when((F.col("k.doc_id") == F.col("doc_id"))
+                              & (F.col("k.idx") == F.col("idx")), 0)
+                       .otherwise(1)).alias("n_dup_spans")))
 
 
 # PII scrub: redaction regexes restricted to the syntax subset that
