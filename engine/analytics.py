@@ -1298,6 +1298,68 @@ def q_dedup_span_exact(spark, sf_dir):
                        .otherwise(1)).alias("n_dup_spans")))
 
 
+# URL regex restricted (like the PII regexes below) to the
+# Java-regex/RE2-identical subset.
+_URL_RE = r"https?://[A-Za-z0-9.-]+(/[A-Za-z0-9._/-]*)?"
+
+_DUCK_URLS = f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN
+           text || ' see https://site' || CAST(doc_id % 5 AS VARCHAR)
+                || '.example/page/' || CAST(doc_id AS VARCHAR)
+                || ' and http://mirror.example/x'
+         ELSE text END AS text
+  FROM documents
+), urls AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '{_URL_RE}')) AS url
+  FROM aug
+)
+SELECT regexp_extract(url, '^https?://([A-Za-z0-9.-]+)', 1) AS domain,
+       CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM urls GROUP BY 1
+"""
+
+
+@register("url_domain_stats", _DUCK_URLS)
+def q_url_domain_stats(spark, sf_dir):
+    """URL extraction + per-domain stats — the crawl-pipeline report
+    every corpus audit starts with (domain distribution drives
+    blocklists and sampling weights).  URLs are pulled with a
+    Java/RE2-identical regex (function API, not F.expr — SQL literals
+    eat regex backslashes), the host is extracted, and counts
+    aggregate per domain.
+
+    The word-soup corpus carries no URLs, so every 7th document is
+    planted with two deterministic links (5 rotating synthetic domains
+    + one shared mirror host) — plant-over-natural, same pattern as
+    the ANN/PII families.  Scale shape: explode → one
+    map-side-combinable groupBy on the domain; no windows, no
+    joins."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.col("text"), F.lit(" see https://site"),
+                        (F.col("doc_id") % 5).cast("string"),
+                        F.lit(".example/page/"),
+                        F.col("doc_id").cast("string"),
+                        F.lit(" and http://mirror.example/x")))
+        .otherwise(F.col("text")).alias("text"))
+    urls = (aug.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(F.col("text"), F.lit(_URL_RE),
+                                       F.lit(0))).alias("url")))
+    return (urls.select(
+        "doc_id",
+        F.regexp_extract(F.col("url"), r"^https?://([A-Za-z0-9.-]+)", 1)
+         .alias("domain"))
+        .groupBy("domain")
+        .agg(F.count("*").alias("n_urls"),
+             F.countDistinct("doc_id").alias("n_docs")))
+
+
 # PII scrub: redaction regexes restricted to the syntax subset that
 # behaves identically under Java regex (Spark) and RE2 (DuckDB) —
 # character classes, bounded/unbounded greedy quantifiers, no

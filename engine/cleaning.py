@@ -49,6 +49,44 @@ def quality_language_gate(docs: DataFrame) -> DataFrame:
     return docs.filter(keep)
 
 
+def gopher_repetition_gate(docs: DataFrame,
+                           max_dup_3gram: float = 0.3,
+                           max_top_bigram: float = 0.2) -> DataFrame:
+    """Gopher-style repetition gate (Rae et al. §A1.2; the driver
+    query gopher_repetition carries the oracle for these signals):
+    drop documents whose duplicate-3-gram fraction or top-bigram share
+    flags them as repeated boilerplate/spam.
+
+    Stays a PURE PROJECTION (the fused-gate shape): the 3-gram
+    fraction is array HOFs, and the per-document top-bigram count is a
+    longest-equal-run ``aggregate`` over the SORTED bigram array —
+    row-local O(L log L), no explode, no shuffle (the driver query
+    computes the same number via groupBy because its oracle needs the
+    distributed shape; a gate wants the fused one).  Documents under 3
+    tokens pass (the C4 length gate owns short-text policy)."""
+    toks = F.expr(_SPARK_TOKS)
+    tri = ("transform(sequence(1, size(t) - 2), i -> "
+           "concat(element_at(t, i), ' ', element_at(t, i + 1), ' ', "
+           "element_at(t, i + 2)))")
+    big = ("transform(sequence(1, size(t) - 1), i -> "
+           "concat(element_at(t, i), ' ', element_at(t, i + 1)))")
+    # longest run of equal values in the sorted bigram list == the top
+    # bigram's count; lambda-bind t (CollapseProject discipline)
+    checks = f"""
+      element_at(transform(array({_SPARK_TOKS}), t -> CASE
+        WHEN size(t) < 3 THEN true
+        ELSE (1.0 - size(array_distinct({tri})) / (size(t) - 2))
+               <= {max_dup_3gram}
+         AND aggregate(sort_array({big}),
+               struct('' AS prev, 0L AS run, 0L AS best),
+               (acc, x) -> struct(x,
+                 IF(x = acc.prev, acc.run + 1, 1L),
+                 greatest(acc.best, IF(x = acc.prev, acc.run + 1, 1L))),
+               acc -> acc.best) / (size(t) - 1) <= {max_top_bigram}
+      END), 1)"""
+    return docs.filter(F.expr(checks))
+
+
 def exact_dedup(docs: DataFrame) -> DataFrame:
     """Keep the lowest doc_id per exact content hash (one shuffle)."""
     w_keep = (docs.groupBy(F.md5(F.col("text").cast("binary"))
@@ -96,7 +134,8 @@ def pii_scrub_text(docs: DataFrame) -> DataFrame:
                .withColumn("text", scrubbed)
 
 
-def cleaning_stages(docs: DataFrame, neardup_policy: str = "pairwise") -> dict:
+def cleaning_stages(docs: DataFrame, neardup_policy: str = "pairwise",
+                    gopher_gate: bool = False) -> dict:
     """The job's stage DataFrames, each boundary PERSISTED.
 
     Every stage output is referenced more than once downstream (exact
@@ -109,7 +148,10 @@ def cleaning_stages(docs: DataFrame, neardup_policy: str = "pairwise") -> dict:
     materializes every cache exactly once and the per-stage metric
     counts are cache reads (plan-asserted in tests/test_cleaning_job.py:
     the counts execute as InMemoryTableScan with no parquet scan)."""
-    gated = quality_language_gate(docs).persist()
+    gated = quality_language_gate(docs)
+    if gopher_gate:
+        gated = gopher_repetition_gate(gated)
+    gated = gated.persist()
     exact = exact_dedup(gated).persist()
     survivors = neardup_removal(exact, policy=neardup_policy).persist()
     cleaned = pii_scrub_text(survivors)
@@ -119,7 +161,8 @@ def cleaning_stages(docs: DataFrame, neardup_policy: str = "pairwise") -> dict:
 
 def run_cleaning_job(spark: SparkSession, input_path: str,
                      output_path: str,
-                     neardup_policy: str = "pairwise") -> dict:
+                     neardup_policy: str = "pairwise",
+                     gopher_gate: bool = False) -> dict:
     """documents parquet in → cleaned corpus parquet out, one JSON-able
     metrics dict back (per-stage survivor counts reconcile the run the
     way the extraction pipeline's lineage rows do).
@@ -134,7 +177,8 @@ def run_cleaning_job(spark: SparkSession, input_path: str,
 
     t0 = time.time()
     docs = spark.read.parquet(input_path)
-    stages = cleaning_stages(docs, neardup_policy=neardup_policy)
+    stages = cleaning_stages(docs, neardup_policy=neardup_policy,
+                             gopher_gate=gopher_gate)
     obs = Observation()
     cleaned = stages["cleaned"].observe(
         obs, F.count(F.lit(1)).alias("rows_out"),

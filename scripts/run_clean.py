@@ -24,6 +24,9 @@ def main() -> None:
                    choices=["pairwise", "clusters"],
                    help="pairwise: drop larger member of each pair; "
                         "clusters: keep one doc per transitive cluster")
+    p.add_argument("--gopher-gate", action="store_true",
+                   help="also drop repeated-boilerplate docs "
+                        "(Gopher dup-3gram / top-bigram thresholds)")
     args = p.parse_args()
 
     from engine.cleaning import run_cleaning_job
@@ -32,7 +35,8 @@ def main() -> None:
     spark = get_spark(app_name="cleaning-job")
     spark.sparkContext.setLogLevel("ERROR")
     metrics = run_cleaning_job(spark, args.input, args.output,
-                               neardup_policy=args.neardup_policy)
+                               neardup_policy=args.neardup_policy,
+                               gopher_gate=args.gopher_gate)
     print(json.dumps(metrics))
 
 

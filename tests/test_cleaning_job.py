@@ -78,6 +78,33 @@ def test_cleaning_job_metrics_are_one_pass(spark, tmp_path):
             stages[name].unpersist()
 
 
+def test_cleaning_job_gopher_gate_drops_repeated_boilerplate(spark, tmp_path):
+    """A repeated-phrase spam document that PASSES the C4 gates (high
+    stopword ratio, no punctuation, in-range length) must survive the
+    default job but be dropped when the Gopher repetition gate is on;
+    normal documents are untouched either way."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    spam_text = " ".join(["the spam of spam and"] * 12)  # 60 tokens
+    spam = spark.createDataFrame(
+        [(900001, spam_text, "en", "synthetic", len(spam_text))],
+        docs.schema)
+    inp = str(tmp_path / "docs_spam")
+    docs.unionAll(spam).write.parquet(inp)
+
+    m_off = run_cleaning_job(spark, inp, str(tmp_path / "out_off"))
+    m_on = run_cleaning_job(spark, inp, str(tmp_path / "out_on"),
+                            gopher_gate=True)
+    off_ids = {r.doc_id for r in spark.read.parquet(str(tmp_path / "out_off"))
+               .select("doc_id").collect()}
+    on_ids = {r.doc_id for r in spark.read.parquet(str(tmp_path / "out_on"))
+              .select("doc_id").collect()}
+    assert 900001 in off_ids          # C4 gates alone keep the spam
+    assert 900001 not in on_ids       # the repetition gate drops it
+    assert on_ids == off_ids - {900001}  # and ONLY it
+    assert m_on["after_quality_language"] \
+        == m_off["after_quality_language"] - 1
+
+
 def test_cleaning_job_redacts_planted_pii(spark, tmp_path):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     planted = docs.withColumn(
