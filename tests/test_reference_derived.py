@@ -501,3 +501,57 @@ def test_products_two_attr_query_descends_to_description_cells():
     assert all(set(r) == {"description"} for r in prods[1:])
     assert [r["description"].split(" ")[2] for r in prods] == [
         "sweet", "power", "surge", "game", "gaming"]
+
+
+def test_clubs_three_attr_inner_col_steals_win_via_stale_count():
+    """clubs.html (220 KB WordPress/ghostkit page), 'Extract club
+    name, image and link' — derived with
+    scripts/derive_reference_general.py and hand-spot-checked against
+    the fixture bytes:
+
+    19 repeated-structure groups (R4); the two 75-element column
+    groups both qualify at found=2 (image+link), conf 2/3: the OUTER
+    'ghostkit-col …' (g0) qualifies FIRST on the confidence branch,
+    then the INNER 'ghostkit-col-content …' (g1) ties at 2/3 and
+    STEALS the win via the stale highest_count (R5) — the same quirk
+    jobs.html exhibits.  75 records: record 0 carries explicit
+    name=None plus the first card's image/link (R6 record-shape
+    asymmetry); replays are image/link-only.  'name' never matches:
+    the cards' only name-ish data sits in alt/title attribute VALUES,
+    which the exact ladder never consults (R2)."""
+    resp = _parse("clubs.html", "Extract club name, image and link")
+    clubs = resp["results"]["clubs"]
+    assert resp["message"] == "Found 75 clubs on this page"
+    assert len(clubs) == 75
+    assert clubs[0] == {
+        "name": None,
+        "image": "https://www.azsoccerassociation.org/wp-content/uploads"
+                 "/sites/186/2023/09/1.png?w=500",
+        "link": "https://www.azsocceracademy.com/",
+    }
+    assert all(set(c) == {"image", "link"} for c in clubs[1:])
+    # the 10th card's anchor is absent in the fixture → link None
+    assert clubs[10]["link"] is None
+    assert clubs[74]["link"] == "https://yavapaisoccer.com/"
+
+
+def test_clubs_two_attr_query_early_stops_on_outer_col():
+    """Same page, 'Extract club link and image' (2 attrs): the OUTER
+    column group g0 now finds BOTH attrs at full confidence, so the
+    early-stop branch fires on the FIRST qualifying group
+    (general_parser.py:158-163 — all attrs found at high confidence)
+    and g0 wins outright; the stale-count quirk never gets a turn.
+    Same 75 cards, records are link/image pairs with the identical
+    values the 3-attr run extracts (derived output matches the
+    snapshot byte-for-byte for both queries)."""
+    resp = _parse("clubs.html", "Extract club link and image")
+    clubs = resp["results"]["clubs"]
+    assert resp["message"] == "Found 75 clubs on this page"
+    assert len(clubs) == 75
+    assert clubs[0]["link"] == "https://www.azsocceracademy.com/"
+    assert clubs[0]["image"].endswith("/2023/09/1.png?w=500")
+    # cards with no anchor (g0's container walk merges two adjacent
+    # anchor-less cards differently than g1's, so the null positions
+    # shift vs the 3-attr run — both derived independently)
+    nulls = [i for i, c in enumerate(clubs) if c.get("link") is None]
+    assert nulls == [10, 24, 27, 37, 38, 46]
