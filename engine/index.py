@@ -93,6 +93,35 @@ def neardup_pairs_vs_index(spark: SparkSession, arriving: DataFrame,
     return _verify_jaccard(cand, dist_all)
 
 
+def compact_stream_index(spark: SparkSession, stream_index_dir: str,
+                         name: str, path: str,
+                         n_buckets: int = 16) -> None:
+    """Fold ``stream_dedup_neardup``'s per-batch parquet index dirs
+    into the bucketed tables — the classic ingest → compact split:
+    the STREAMING job appends with per-batch-id overwrites (replay-
+    idempotent, no transactional table needed), and this periodic
+    compaction rewrites the accumulated batches into the bucketed
+    layout the candidate join reads in place.  (Appending to a
+    bucketed table from inside the stream would need a transactional
+    format to stay exactly-once across the append/commit crash
+    window; the dir-then-compact shape avoids that window entirely —
+    the compaction is itself an idempotent overwrite.)"""
+    dist = (spark.read.parquet(f"{stream_index_dir}/dist")
+            .select("doc_id", "h"))
+    bands = (spark.read.parquet(f"{stream_index_dir}/bands")
+             .select("doc_id", "band_id", "band_key"))
+    for tbl in (f"{name}_bands", f"{name}_dist"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    (bands.write.mode("overwrite")
+     .bucketBy(n_buckets, "band_key").sortBy("band_key")
+     .option("path", f"{path}/bands")
+     .saveAsTable(f"{name}_bands"))
+    (dist.write.mode("overwrite")
+     .bucketBy(n_buckets, "doc_id").sortBy("doc_id")
+     .option("path", f"{path}/dist")
+     .saveAsTable(f"{name}_dist"))
+
+
 def append_to_index(docs: DataFrame, name: str,
                     n_buckets: int = 16) -> None:
     """Fold a processed batch into the index.  The append declares the

@@ -82,6 +82,34 @@ def test_bucketed_candidate_join_shuffles_only_arriving_side(
         "the bucketed scan must feed the join without a shuffle"
 
 
+def test_compact_stream_index_to_bucketed_tables(spark, tmp_path):
+    """The ingest → compact split: the streaming near-dup job builds
+    its replay-idempotent per-batch parquet index; compaction folds it
+    into the bucketed tables, after which querying the bucketed index
+    finds the same cross-batch pair the streaming job found."""
+    from engine.index import compact_stream_index
+    from engine.streaming import stream_dedup_neardup
+    from tests.test_streaming_neardup import _DOCS_1, _DOCS_2, _write
+
+    inp = str(tmp_path / "in")
+    idx = str(tmp_path / "sidx")
+    pairs = str(tmp_path / "pairs")
+    cp = str(tmp_path / "cp")
+    _write(spark, _DOCS_1, inp)
+    q = stream_dedup_neardup(spark, inp, idx, pairs, cp)
+    q.awaitTermination(120)
+
+    compact_stream_index(spark, idx, "t_cmp", str(tmp_path / "bidx"))
+    arriving = spark.createDataFrame(_DOCS_2, "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b)
+           for r in neardup_pairs_vs_index(spark, arriving, "t_cmp")
+           .collect()}
+    assert got == {(1, 6)}  # doc 6 is the near-dup of indexed doc 1
+    plan = (spark.table("t_cmp_bands").groupBy("band_key").count()
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Bucketed: true" in plan and "Exchange" not in plan
+
+
 def test_bucketed_index_append_keeps_layout_and_catches_late_dup(
         spark, tmp_path, no_broadcast):
     base = spark.createDataFrame(
