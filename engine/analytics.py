@@ -400,14 +400,21 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return _minhash_pairs(_hashed_shingles(spark, sf_dir))
 
 
-def _minhash_bands(dist):
-    """(doc_id, band_id, band_key) from the hashed-shingle base."""
+def _minhash_sigs(dist):
+    """(doc_id, s0..s15) minhash signature from the hashed-shingle
+    base — one map-side-combinable groupBy; shared by the band
+    builder and the estimator-calibration report."""
     halves = dist.select("doc_id",
                          F.expr("shiftright(h, 30)").alias("hh"),
                          F.expr("h & 1073741823").alias("hl"))
-    sig = halves.groupBy("doc_id").agg(*[
+    return halves.groupBy("doc_id").agg(*[
         F.min(F.expr(f"({a} * hh + {b} * hl + {c}) % {_MH_P}"))
          .alias(f"s{k}") for k, (a, b, c) in enumerate(_MH_COEFFS)])
+
+
+def _minhash_bands(dist):
+    """(doc_id, band_id, band_key) from the hashed-shingle base."""
+    sig = _minhash_sigs(dist)
     band_keys = F.array(*[
         F.col(f"s{2*b}") * F.lit(2147483648) + F.col(f"s{2*b+1}")
         for b in range(_BANDS)])
@@ -480,6 +487,69 @@ def q_dedup_minhash_incremental(spark, sf_dir):
     dist = _hashed_shingles(spark, sf_dir)
     return _minhash_pairs(
         dist, cand_filter=lambda a, b: ~((a % 2 == 0) & (b % 2 == 0)))
+
+
+_DUCK_MH_ESTIMATE = f"""
+WITH shingled AS (
+  SELECT doc_id, unnest({_DUCK_SHINGLES}) AS sh FROM documents
+  WHERE len({_DUCK_TOKS}) >= 3
+), dist AS (SELECT DISTINCT doc_id, {_DUCK_SH_HASH} AS h FROM shingled),
+halves AS (
+  SELECT doc_id, h >> 30 AS hh, h & 1073741823 AS hl FROM dist
+), sig AS (
+  SELECT doc_id,
+         {', '.join(f"MIN(({a} * hh + {b} * hl + {c}) % {_MH_P}) AS s{k}"
+                    for k, (a, b, c) in enumerate(_MH_COEFFS))}
+  FROM halves GROUP BY doc_id
+), pairs AS (SELECT doc_a, doc_b, jaccard FROM ({_DUCK_MINHASH}) t)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(AVG(est), 4) AS mean_est,
+       ROUND(AVG(jaccard), 4) AS mean_jaccard,
+       ROUND(AVG(ABS(est - jaccard)), 4) AS mae
+FROM (
+  SELECT p.jaccard,
+         ({' + '.join(f"(CASE WHEN a.s{k} = b.s{k} THEN 1 ELSE 0 END)"
+                      for k in range(_MINHASH_K))}) / {_MINHASH_K}.0 AS est
+  FROM pairs p JOIN sig a ON a.doc_id = p.doc_a
+               JOIN sig b ON b.doc_id = p.doc_b)
+"""
+
+
+@register("minhash_estimate_report", _DUCK_MH_ESTIMATE)
+def q_minhash_estimate_report(spark, sf_dir):
+    """Sketch CALIBRATION report — the family's "measured, not
+    assumed" evidence for the MinHash estimator itself: over the
+    CONFIRMED near-dup pairs, compare the signature-agreement Jaccard
+    estimate (fraction of the 16 minhash variants agreeing — the
+    number LSH effectively thresholds) against the exact Jaccard the
+    verify step computed anyway.  One row: pair count, mean estimate,
+    mean exact Jaccard, and the mean absolute error — with k=16 the
+    estimator's per-pair std is ~sqrt(J(1-J)/16) ≈ 0.1, so an MAE in
+    that range is the sketch working as designed.
+
+    Scale shape: signatures come from the same map-side-combinable
+    groupBy the bands use (shared _minhash_sigs); the report joins
+    only the CONFIRMED pairs (tiny) against the signature table —
+    16-int rows, int-keyed."""
+    dist = _hashed_shingles(spark, sf_dir)
+    pairs = _minhash_pairs(dist)
+    sig = _minhash_sigs(dist)
+    sa = sig.select(F.col("doc_id").alias("doc_a"),
+                    *[F.col(f"s{k}").alias(f"a{k}")
+                      for k in range(_MINHASH_K)])
+    sb = sig.select(F.col("doc_id").alias("doc_b"),
+                    *[F.col(f"s{k}").alias(f"b{k}")
+                      for k in range(_MINHASH_K)])
+    est = sum(F.when(F.col(f"a{k}") == F.col(f"b{k}"), 1).otherwise(0)
+              for k in range(_MINHASH_K)) / float(_MINHASH_K)
+    scored = (pairs.join(sa, "doc_a").join(sb, "doc_b")
+              .select("jaccard", est.alias("est")))
+    return (scored.agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.avg("est"), 4).alias("mean_est"),
+        F.round(F.avg("jaccard"), 4).alias("mean_jaccard"),
+        F.round(F.avg(F.abs(F.col("est") - F.col("jaccard"))), 4)
+         .alias("mae")))
 
 
 def _connected_components(pairs, max_iters: int = 64):
