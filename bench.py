@@ -122,7 +122,7 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
     # analytics operators at scale (skipped in scaling-only mode)
     analytics_names = [] if os.environ.get("SPARK_GRAFT_SCALING_ONLY") else [
         "dedup_exact", "dedup_minhash_lsh", "dedup_minhash_incremental",
-        "dedup_clusters", "dedup_ngram_jaccard",
+        "dedup_clusters", "minhash_estimate_report", "dedup_ngram_jaccard",
         "dedup_simhash", "simhash_hamming_candidates",
         "dedup_embedding_cosine", "dedup_span_exact",
         "ann_cosine_topk", "ann_lsh_top1",
