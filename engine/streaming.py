@@ -61,8 +61,9 @@ def stream_extract(spark: SparkSession, input_path: str, output_path: str,
 
 def stream_extract_batched(spark: SparkSession, input_path: str,
                            output_path: str, checkpoint_path: str,
-                           query: str, available_now: bool = True,
-                           plan_probe: list | None = None):
+                           query: str = "", available_now: bool = True,
+                           plan_probe: list | None = None,
+                           queries: dict | None = None):
     """Streaming extraction WITH the JVM prose fast path (VERDICT r3
     item 4): a foreachBatch job that persists each micro-batch once
     and runs the two-branch extract (markup rows → Arrow kernel; prose
@@ -75,18 +76,149 @@ def stream_extract_batched(spark: SparkSession, input_path: str,
 
     ``plan_probe``: test hook — when a list is passed, each
     micro-batch's executed-plan string is appended so tests can assert
-    the prose rows bypass MapInPandas inside the micro-batch."""
+    the prose rows bypass MapInPandas inside the micro-batch.
+
+    ``queries`` (dict query_id → NL query) switches each micro-batch
+    to the MULTI-QUERY single-pass kernel (extract_turns_multi — one
+    DOM parse per turn shared across all queries, prose/bad-query
+    envelopes stamped JVM-side), completing the matrix: batch/stream ×
+    single/multi all share the same two operators."""
+    from engine.extract import extract_turns_multi
+
     stream = read_transcript_stream(spark, input_path)
 
     def _process(batch_df, batch_id):
         batch = batch_df.persist()
-        extracted = extract_turns(batch, query, jvm_prose_fast_path=True)
+        if queries:
+            extracted = extract_turns_multi(batch, queries)
+        else:
+            extracted = extract_turns(batch, query, jvm_prose_fast_path=True)
         if plan_probe is not None:
             plan_probe.append(
                 extracted._jdf.queryExecution().executedPlan().toString())
         extracted.write.mode("overwrite") \
             .parquet(f"{output_path}/batch={batch_id}")
         batch.unpersist()
+
+    writer = (stream.writeStream.foreachBatch(_process)
+              .option("checkpointLocation", checkpoint_path))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_clean(spark: SparkSession, input_path: str, work_dir: str,
+                 checkpoint_path: str, available_now: bool = True,
+                 gopher_gate: bool = False):
+    """STREAMING corpus cleaning — the continuously-landing form of
+    engine/cleaning.py's batch job, composed from the family's
+    streaming members: per micro-batch,
+
+        quality/language gates (+ optional Gopher repetition gate)
+        → exact dedup (within batch AND against the survivor hash
+          index — first occurrence wins)
+        → near-dup removal (MinHash vs the survivor band index +
+          within batch; the arriving LARGER-id member of a confirmed
+          pair is dropped)
+        → PII scrub → cleaned parquet + one metrics row,
+
+    and the batch's SURVIVORS (only) join the persisted index, so a
+    dropped document never blocks future documents — the index is the
+    corpus, exactly as in the batch job.  All writes are per-batch-id
+    overwrites (the stream_dedup_neardup exactly-once pattern); a
+    replayed batch rewrites its own partitions byte-identically.
+
+    Layout under ``work_dir``: ``cleaned/batch=N`` (output),
+    ``index/{hashes,dist,bands}/batch=N`` (survivor state),
+    ``metrics/batch=N`` (per-batch funnel row — the streaming
+    analogue of the batch job's metrics dict).
+
+    Ordering caveat (documented, not hidden): the larger-id-drop
+    policy assumes doc_ids are arrival-ordered (a monotonically
+    assigned ingest id — the production norm).  A late arrival with a
+    SMALLER id than an indexed near-dup survives alongside it (the
+    index is never retroactively evicted); the batch job with the
+    clusters policy is the tool for retroactive canonicalization."""
+    from engine.analytics import (_hashed_shingles_df, _minhash_bands,
+                                  _verify_jaccard)
+    from engine.cleaning import (gopher_repetition_gate, pii_scrub_text,
+                                 quality_language_gate)
+
+    out_dir = f"{work_dir}/cleaned"
+    idx = f"{work_dir}/index"
+
+    stream = (spark.readStream
+              .schema("doc_id LONG, text STRING")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(input_path))
+
+    def _process(batch_df, batch_id):
+        import os as _os
+
+        batch = batch_df.select("doc_id", "text").persist()
+        n_in = batch.count()
+        gated = quality_language_gate(batch)
+        if gopher_gate:
+            gated = gopher_repetition_gate(gated)
+        gated = gated.withColumn(
+            "content_hash",
+            F.md5(F.col("text").cast("binary"))).persist()
+        n_gated = gated.count()
+
+        if _os.path.isdir(f"{idx}/hashes"):
+            seen = (spark.read.parquet(f"{idx}/hashes")
+                    .select("content_hash"))
+            fresh = gated.join(seen, "content_hash", "left_anti")
+        else:
+            fresh = gated
+        w_keep = (fresh.groupBy("content_hash")
+                  .agg(F.min("doc_id").alias("doc_id")))
+        exact = fresh.join(w_keep, ["content_hash", "doc_id"],
+                           "left_semi").persist()
+        n_exact = exact.count()
+
+        dist_arr = _hashed_shingles_df(
+            exact.select("doc_id", "text")).persist()
+        bands_arr = _minhash_bands(dist_arr).persist()
+        if _os.path.isdir(f"{idx}/dist"):
+            dist_all = (spark.read.parquet(f"{idx}/dist")
+                        .select("doc_id", "h").unionAll(dist_arr))
+            bands_all = (spark.read.parquet(f"{idx}/bands")
+                         .select("doc_id", "band_id", "band_key")
+                         .unionAll(bands_arr))
+        else:
+            dist_all, bands_all = dist_arr, bands_arr
+        a = bands_arr.alias("a")
+        b = bands_all.alias("b")
+        cand = (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+                       & (F.col("a.band_key") == F.col("b.band_key"))
+                       & (F.col("a.doc_id") != F.col("b.doc_id")))
+                .select(F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+                        F.greatest("a.doc_id", "b.doc_id").alias("doc_b"))
+                .distinct())
+        drop = (_verify_jaccard(cand, dist_all)
+                .select(F.col("doc_b").alias("doc_id")).distinct())
+        survivors = exact.join(drop, "doc_id", "left_anti").persist()
+        n_surv = survivors.count()
+
+        cleaned = pii_scrub_text(survivors.select("doc_id", "text"))
+        cleaned.write.mode("overwrite") \
+            .parquet(f"{out_dir}/batch={batch_id}")
+        survivors.select("content_hash", "doc_id").write \
+            .mode("overwrite").parquet(f"{idx}/hashes/batch={batch_id}")
+        surv_ids = survivors.select("doc_id")
+        dist_arr.join(surv_ids, "doc_id", "left_semi").write \
+            .mode("overwrite").parquet(f"{idx}/dist/batch={batch_id}")
+        bands_arr.join(surv_ids, "doc_id", "left_semi").write \
+            .mode("overwrite").parquet(f"{idx}/bands/batch={batch_id}")
+        spark.createDataFrame(
+            [(batch_id, n_in, n_gated, n_exact, n_surv)],
+            "batch_id long, rows_in long, after_gates long, "
+            "after_exact_dedup long, after_neardup_removal long") \
+            .coalesce(1).write.mode("overwrite") \
+            .parquet(f"{work_dir}/metrics/batch={batch_id}")
+        for df in (batch, gated, exact, dist_arr, bands_arr, survivors):
+            df.unpersist()
 
     writer = (stream.writeStream.foreachBatch(_process)
               .option("checkpointLocation", checkpoint_path))

@@ -83,6 +83,32 @@ def test_stream_extract_batched_fast_path(spark, tmp_path):
     assert total.select("conv_id", "turn_idx").distinct().count() == 90
 
 
+def test_stream_extract_multi_query(spark, tmp_path):
+    """Multi-query streaming: each micro-batch runs the single-pass
+    multi-query kernel; the drained output equals the BATCH multi-query
+    result over the same input at the (query, conv, turn) grain."""
+    from engine.extract import extract_turns_multi
+    from engine.streaming import stream_extract_batched
+    from tests.test_multi_query import QUERIES
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    _write_batch(spark, inp, 8)
+    qs = {"a": CANONICAL_QUERY, "b": QUERIES["q_title"]}
+
+    q = stream_extract_batched(spark, inp, out, str(tmp_path / "cp"),
+                               queries=qs)
+    q.awaitTermination(120)
+
+    cols = ["query_id", "conv_id", "turn_idx", "status", "n_results"]
+    got = sorted(map(tuple, spark.read.parquet(out)
+                 .select(*cols).collect()))
+    want = sorted(map(tuple,
+                      extract_turns_multi(spark.read.parquet(inp), qs)
+                      .select(*cols).collect()))
+    assert got == want and len(got) == 48 * 2
+
+
 def test_stateful_conversation_progress_resumes_across_restarts(spark, tmp_path):
     """applyInPandasWithState: per-conversation counters accumulate
     across micro-batches AND across restarts (state store in the
