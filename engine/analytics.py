@@ -915,6 +915,169 @@ def q_simhash_hamming_candidates(spark, sf_dir):
             .select("doc_a", "doc_b", "hamming"))
 
 
+# 128-bit simhash in 4 × 32-bit chunks — the saturation-proof sketch
+# the 64-bit variant's cap note prescribes: the Hamming-≤3 pigeonhole
+# still needs only 4 chunks (≥1 agrees), but each chunk key now spans
+# 2^32 values, so band buckets stay ~n/2^32 — the candidate join does
+# not go quadratic until ~10^9 docs (vs ~10^5 for 16-bit keys, the
+# saturation the r4 decade run measured).  Uses the FULL MD5 (all 32
+# hex digits) per token.
+_SIMHASH128_BITS = 128
+_SIMHASH128_CHUNKS = 4
+_CHUNK128_BITS = _SIMHASH128_BITS // _SIMHASH128_CHUNKS
+
+_DUCK_SIMHASH128 = f"""
+  WITH stoks AS (
+    SELECT DISTINCT doc_id, md5(unnest({_DUCK_TOKS})) AS h FROM {{src}}
+  ), sbits AS (
+    SELECT doc_id, p.p,
+           SUM(CASE WHEN
+                 ((({_HEX_CASE.format(d="substr(h, 1 + p.p // 4, 1)")})
+                  >> (3 - p.p % 4)) & 1) = 1
+               THEN 1 ELSE -1 END) AS vote
+    FROM stoks, range(0, {_SIMHASH128_BITS}) p(p)
+    GROUP BY doc_id, p.p
+  ), schunks AS (
+    SELECT doc_id, p // {_CHUNK128_BITS} AS c,
+           SUM(CASE WHEN vote > 0
+               THEN 1::BIGINT << ({_CHUNK128_BITS} - 1 - (p % {_CHUNK128_BITS}))
+               ELSE 0 END) AS ck
+    FROM sbits GROUP BY doc_id, p // {_CHUNK128_BITS}
+  )
+  SELECT doc_id,
+         {', '.join(
+             f"CAST(MAX(CASE WHEN c = {c} THEN ck END) AS BIGINT) AS c{c}"
+             for c in range(_SIMHASH128_CHUNKS))}
+  FROM schunks GROUP BY doc_id
+"""
+
+
+def _simhash128_chunks(docs):
+    """(doc_id, c0..c3) 32-bit chunks of the 128-bit simhash — the
+    same one-pass aggregate shape as _simhash_chunks (see its
+    docstring for the CollapseProject/lambda-binding constraints,
+    which apply verbatim), with the token's FULL MD5 decoded into
+    four bound 32-bit words."""
+    spark = docs.sparkSession
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    words = ("array(" + ", ".join(
+        f"cast(conv(substr(h, {1 + 8 * w}, 8), 16, 10) AS bigint)"
+        for w in range(4)) + ")")
+    bit = ("(shiftright(element_at(ws, cast(p / 32 AS int) + 1), "
+           "31 - p % 32) & 1)")
+    token_votes = (f"element_at(transform(array({words}), ws -> "
+                   f"zip_with(acc, "
+                   f"transform(sequence(0, {_SIMHASH128_BITS - 1}),"
+                   f" p -> IF({bit} = 1, 1, -1)), (a, b) -> a + b)), 1)")
+    chunks_of = (f"transform(sequence(0, {_SIMHASH128_CHUNKS - 1}), c -> "
+                 f"aggregate(sequence(0, {_CHUNK128_BITS - 1}), 0L, "
+                 f"(a2, j) -> a2 * 2 + "
+                 f"IF(element_at(votes, c * {_CHUNK128_BITS} + j + 1)"
+                 f" > 0, 1L, 0L)))")
+    cks_expr = f"""
+      aggregate(
+        transform(array_distinct({_SPARK_TOKS}), t -> md5(cast(t AS binary))),
+        transform(sequence(1, {_SIMHASH128_BITS}), x -> 0),
+        (acc, h) -> {token_votes},
+        votes -> {chunks_of})"""
+    return (docs.select("doc_id", F.explode(F.array(F.expr(cks_expr)))
+                        .alias("cks"))
+            .select("doc_id", *[
+                F.element_at("cks", c + 1).alias(f"c{c}")
+                for c in range(_SIMHASH128_CHUNKS)]))
+
+
+@register("dedup_simhash128", _DUCK_SIMHASH128.format(src="documents"))
+def q_dedup_simhash128(spark, sf_dir):
+    """128-bit SimHash sketch in 4 × 32-bit chunks — the key space
+    that keeps pace with corpus growth (chunk buckets ~n/2^32; the
+    16-bit variant saturates at ~10^5 docs, measured in the r4 decade
+    run).  Same zero-shuffle one-pass aggregate as dedup_simhash."""
+    return _simhash128_chunks(_t(spark, sf_dir, "documents"))
+
+
+_DUCK_HAMMING128 = f"""
+WITH chunks AS ({_DUCK_SIMHASH128.format(src=_DUCK_SIMHASH_SRC)}),
+bands AS (
+  {' UNION ALL '.join(
+      f"SELECT doc_id, {c} AS band_id, c{c} AS band_key FROM chunks"
+      for c in range(_SIMHASH128_CHUNKS))}
+), capped AS (
+  SELECT doc_id, band_id, band_key FROM (
+    SELECT doc_id, band_id, band_key,
+           ROW_NUMBER() OVER (PARTITION BY band_id, band_key
+                              ORDER BY doc_id) AS brn
+    FROM bands) WHERE brn <= {{cap}}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped a JOIN capped b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(bit_count(xor(x.c0, y.c0)) + bit_count(xor(x.c1, y.c1))
+          + bit_count(xor(x.c2, y.c2)) + bit_count(xor(x.c3, y.c3))
+         AS INT) AS hamming
+FROM cand c JOIN chunks x ON x.doc_id = c.doc_a
+            JOIN chunks y ON y.doc_id = c.doc_b
+WHERE bit_count(xor(x.c0, y.c0)) + bit_count(xor(x.c1, y.c1))
+    + bit_count(xor(x.c2, y.c2)) + bit_count(xor(x.c3, y.c3)) <= 6
+"""
+
+
+@register("simhash128_hamming_candidates",
+          _DUCK_HAMMING128.format(cap=_SIMHASH_BUCKET_CAP))
+def q_simhash128_hamming_candidates(spark, sf_dir):
+    """Hamming-neighbor join over the 128-bit simhash: pairs within
+    Hamming distance 6 (the 128-bit analogue of the 64-bit query's 3 —
+    same fractional radius) agree on ≥1 of the 4 32-bit chunks by
+    pigeonhole (6 errors cannot touch all 4 chunks... they can touch
+    at most 6, but with 4 chunks ≥1 chunk holds ≤1 error only for
+    d≤3; for d≤6 the pigeonhole guarantee needs ≥1 UNTOUCHED chunk,
+    i.e. d < 4 — so the radius-6 filter is applied AFTER a radius-3-
+    guaranteed candidate set, exactly like the 64-bit query: the
+    guarantee covers d≤3, and d∈[4,6] pairs surface best-effort when
+    a chunk happens to be untouched).  The 32-bit chunk keys keep the
+    candidate join linear far past the 16-bit variant's ~10^5-doc
+    saturation (r4 decade finding); the same deterministic per-bucket
+    cap applies for degenerate inputs.  Same planted perturbations as
+    the 64-bit query (ids offset by max(doc_id)+1)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    poff = int(docs.agg(F.max("doc_id")).first()[0]) + 1
+    perturbed = (docs.filter(F.col("doc_id") % 5 == 0)
+                 .select((F.col("doc_id") + poff).alias("doc_id"),
+                         F.concat(F.col("text"), F.lit(" zzperturb"))
+                          .alias("text")))
+    chunks = _simhash128_chunks(docs.unionAll(perturbed)).persist()
+    wb = Window.partitionBy("band_id", "band_key").orderBy("doc_id")
+    bands = (chunks.select(
+        "doc_id", F.posexplode(F.array(*[
+            F.col(f"c{c}") for c in range(_SIMHASH128_CHUNKS)]))
+        .alias("band_id", "band_key"))
+        .withColumn("brn", F.row_number().over(wb))
+        .filter(F.col("brn") <= _SIMHASH_BUCKET_CAP).drop("brn"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+                   & (F.col("a.band_key") == F.col("b.band_key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b")).distinct())
+    x = chunks.select(F.col("doc_id").alias("doc_a"),
+                      *[F.col(f"c{c}").alias(f"x{c}")
+                        for c in range(_SIMHASH128_CHUNKS)])
+    y = chunks.select(F.col("doc_id").alias("doc_b"),
+                      *[F.col(f"c{c}").alias(f"y{c}")
+                        for c in range(_SIMHASH128_CHUNKS)])
+    ham = sum(F.bit_count(F.expr(f"x{c} ^ y{c}"))
+              for c in range(_SIMHASH128_CHUNKS))
+    return (cand.join(x, "doc_a").join(y, "doc_b")
+            .withColumn("hamming", ham.cast("int"))
+            .filter(F.col("hamming") <= 6)
+            .select("doc_a", "doc_b", "hamming"))
+
+
+
 _DUCK_MM = f"""
 WITH h AS (
   SELECT doc_id AS media_id,
