@@ -124,6 +124,7 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         "dedup_exact", "dedup_minhash_lsh", "dedup_minhash_incremental",
         "dedup_clusters", "minhash_estimate_report", "dedup_ngram_jaccard",
         "dedup_simhash", "simhash_hamming_candidates",
+        "simhash128_hamming_candidates",
         "dedup_embedding_cosine", "dedup_span_exact",
         "ann_cosine_topk", "ann_lsh_top1",
         "ann_ivf_topk", "ann_ivf_sampled_topk", "winnowing_overlap",
