@@ -122,6 +122,60 @@ def compact_stream_index(spark: SparkSession, stream_index_dir: str,
      .saveAsTable(f"{name}_dist"))
 
 
+def write_ann_index(emb: DataFrame, path: str,
+                    train_limit: int = 0) -> None:
+    """Train the IVF model (engine/analytics._ivf_fit — deterministic
+    spherical k-means) and materialize the SERVING index: the centroid
+    table (k×dims — driver-sized, plain parquet) plus the corpus
+    PARTITIONED BY CELL, so a probe of nprobe of k cells reads exactly
+    those partitions — PARTITION PRUNING does the "scan ~nprobe/k of
+    the corpus" that IVF promises, at the storage layer
+    (plan-asserted in tests/test_ann_index.py: the member scan's
+    PartitionFilters carry the probed cells).  Train once, query
+    many — the production split the inline ann_ivf_* queries fold
+    into a single job."""
+    from engine.analytics import _ivf_fit
+
+    cent, assign = _ivf_fit(emb, train_limit=train_limit)
+    cent.write.mode("overwrite").parquet(f"{path}/centroids")
+    (emb.join(assign, "vec_id")
+     .write.mode("overwrite").partitionBy("cell")
+     .parquet(f"{path}/members"))
+
+
+def ann_query_index(spark: SparkSession, path: str, query_vec,
+                    nprobe: int = 2, k: int = 10) -> DataFrame:
+    """Top-k cosine neighbors of ``query_vec`` (a Python list) from
+    the persisted IVF index: the probe cells are chosen DRIVER-side
+    against the collected centroid table (the model is k×dims — it
+    belongs on the driver, exactly like any ANN service holds its
+    coarse quantizer in memory), then the member scan filters to
+    those cells — a partition-pruned read of ~nprobe/k of the
+    corpus."""
+    import math
+
+    cents = spark.read.parquet(f"{path}/centroids").collect()
+    qn = math.sqrt(sum(x * x for x in query_vec))
+
+    def cos(ce):
+        dot = sum(x * y for x, y in zip(query_vec, ce))
+        cn = math.sqrt(sum(y * y for y in ce))
+        return dot / (qn * cn)
+
+    probe = [r.cell for r in sorted(
+        cents, key=lambda r: (-round(cos(r.ce), 6), r.cell))][:nprobe]
+    members = (spark.read.parquet(f"{path}/members")
+               .filter(F.col("cell").isin(probe)))
+    q_sql = "array(" + ", ".join(f"{x}D" for x in query_vec) + ")"
+    cos_expr = (f"aggregate(zip_with(e, {q_sql}, (x, y) -> x * y), 0D, "
+                f"(a, v) -> a + v) / "
+                f"(sqrt(aggregate(transform(e, x -> x * x), 0D, "
+                f"(a, v) -> a + v)) * {qn}D)")
+    return (members.select("vec_id", F.expr(cos_expr).alias("cosine"))
+            .orderBy(F.round("cosine", 6).desc(), F.col("vec_id"))
+            .limit(k))
+
+
 def append_to_index(docs: DataFrame, name: str,
                     n_buckets: int = 16) -> None:
     """Fold a processed batch into the index.  The append declares the
