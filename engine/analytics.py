@@ -2647,6 +2647,83 @@ def q_sessionize(spark, sf_dir):
                  F.min("event_id").alias("first_event")))
 
 
+@register("retention_cohorts", """
+WITH firsts AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_date
+  FROM events GROUP BY user_id
+)
+SELECT strftime(f.cohort_date, '%Y-%m-%d') AS cohort_day,
+       CAST(date_diff('day', f.cohort_date, CAST(e.ts AS DATE)) AS BIGINT)
+         AS day_offset,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM events e JOIN firsts f ON f.user_id = e.user_id
+GROUP BY 1, 2
+""")
+def q_retention_cohorts(spark, sf_dir):
+    """Retention cohorts — the standard activity report: users are
+    cohorted by their FIRST event's date, and each (cohort_day,
+    day_offset) cell counts distinct users active that many days
+    later.  Two map-side-combinable aggregations + one int-keyed join
+    (the firsts table is per-user — small relative to events and
+    broadcastable at any realistic user/event ratio); no windows.
+    The cohort day travels as an ISO-8601 STRING: DATE columns
+    stringify differently across the two engines' pandas paths (the
+    r2 BOOLEAN lesson, date edition)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("d"))
+    firsts = ev.groupBy("user_id").agg(F.min("d").alias("cohort_date"))
+    return (ev.join(firsts, "user_id")
+            .select("user_id", "cohort_date",
+                    F.datediff("d", "cohort_date").cast("long")
+                     .alias("day_offset"))
+            .groupBy("cohort_date", "day_offset")
+            .agg(F.countDistinct("user_id").alias("n_users"))
+            .select(F.date_format("cohort_date", "yyyy-MM-dd")
+                    .alias("cohort_day"), "day_offset", "n_users"))
+
+
+@register("funnel_view_click_purchase", """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t1
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+  GROUP BY e.user_id
+)
+SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+       CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_click_after_view,
+       CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase_after_click
+""")
+def q_funnel_view_click_purchase(spark, sf_dir):
+    """Ordered funnel conversion (first-touch): users who viewed, then
+    clicked strictly AFTER their first view, then purchased strictly
+    after that click — the sequence constraint that distinguishes a
+    funnel from three independent counts.  Each step is one
+    conditional min-aggregation joined to the previous step's
+    per-user table; all aggs combine map-side, the per-user step
+    tables shrink monotonically."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (ev.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    c = (ev.filter(F.col("event_type") == "click")
+         .join(v, "user_id").filter(F.col("ts") > F.col("t1"))
+         .groupBy("user_id").agg(F.min("ts").alias("t2")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .join(c, "user_id").filter(F.col("ts") > F.col("t2"))
+         .groupBy("user_id").agg(F.min("ts").alias("t3")))
+    return (v.agg(F.count("*").alias("n_view"))
+            .crossJoin(c.agg(F.count("*").alias("n_click_after_view")))
+            .crossJoin(p.agg(F.count("*")
+                             .alias("n_purchase_after_click"))))
+
+
 @register("embedding_norm_stats", """
 SELECT label, COUNT(*) AS n,
        ROUND(AVG(sqrt(list_sum(list_transform(embedding::DOUBLE[],
