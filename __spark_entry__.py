@@ -56,12 +56,39 @@ def entry(spark: SparkSession) -> DataFrame:
                     "status", "n_results", "message", "results"))
 
 
+# The driver's correctness pass has a finite per-round budget (r4's
+# file truncated at 50 rows while 58 queries were registered — the 8
+# missing were exactly the LAST-registered; VERDICT r4 "process
+# defect").  Queries that have never received a driver-produced green
+# row therefore register FIRST, so any truncation can only hit
+# long-green entries.  Keep newly-added queries at the top of this
+# list each round; demote them once a CORRECTNESS_r{N}.json row lands.
+_PRIORITY_FIRST = [
+    # never driver-checked through r4 (judge-verified only):
+    "ann_ivf_sampled_topk",
+    "retention_cohorts",
+    "funnel_view_click_purchase",
+    "dedup_embedding_cosine",
+    "ann_ivf_topk",
+    "ann_ivf_recall",
+    "sessionize",
+    "embedding_norm_stats",
+]
+
+
+def _reordered(mapping: dict) -> dict:
+    head = {k: mapping[k] for k in _PRIORITY_FIRST if k in mapping}
+    head.update((k, v) for k, v in mapping.items() if k not in head)
+    return head
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 / §2.8 plus
-    the training-data pipeline operators."""
-    return _queries.queries()
+    the training-data pipeline operators.  Ordered so queries without a
+    prior driver-green correctness row come first (see _PRIORITY_FIRST)."""
+    return _reordered(_queries.queries())
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable oracle SQL per query key (same column names)."""
-    return _queries.oracle_sql()
+    return _reordered(_queries.oracle_sql())

@@ -105,11 +105,19 @@ def compact_stream_index(spark: SparkSession, stream_index_dir: str,
     bucketed table from inside the stream would need a transactional
     format to stay exactly-once across the append/commit crash
     window; the dir-then-compact shape avoids that window entirely —
-    the compaction is itself an idempotent overwrite.)"""
+    the compaction is itself an idempotent overwrite.)
+
+    The tables KEEP the source ``batch`` partition column: the
+    streaming jobs derive the already-folded batch set from the table
+    itself (engine/streaming._folded_batches) — one source of truth,
+    no side marker whose staleness after a mid-compaction crash could
+    double-count a batch's shingles.  Rerunning a crashed compaction
+    is the (idempotent) recovery; run compactions between stream
+    triggers, not concurrently with one."""
     dist = (spark.read.parquet(f"{stream_index_dir}/dist")
-            .select("doc_id", "h"))
+            .select("doc_id", "h", "batch"))
     bands = (spark.read.parquet(f"{stream_index_dir}/bands")
-             .select("doc_id", "band_id", "band_key"))
+             .select("doc_id", "band_id", "band_key", "batch"))
     for tbl in (f"{name}_bands", f"{name}_dist"):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     (bands.write.mode("overwrite")
@@ -177,13 +185,21 @@ def ann_query_index(spark: SparkSession, path: str, query_vec,
 
 
 def append_to_index(docs: DataFrame, name: str,
-                    n_buckets: int = 16) -> None:
+                    n_buckets: int = 16, batch: int | None = None) -> None:
     """Fold a processed batch into the index.  The append declares the
     SAME bucket spec as the table (saveAsTable validates it), so every
     appended file set is bucketed identically and the co-located join
-    property survives growth."""
+    property survives growth.  When the table carries the ``batch``
+    provenance column (compact_stream_index tables), the appended rows
+    get ``batch`` (default -1 = "appended outside the stream")."""
+    spark = docs.sparkSession
     dist = _hashed_shingles_df(docs)
-    (_minhash_bands(dist).write.mode("append")
+    bands = _minhash_bands(dist)
+    if "batch" in spark.table(f"{name}_bands").columns:
+        b = F.lit(-1 if batch is None else batch)
+        bands = bands.withColumn("batch", b)
+        dist = dist.withColumn("batch", b)
+    (bands.write.mode("append")
      .bucketBy(n_buckets, "band_key").sortBy("band_key")
      .saveAsTable(f"{name}_bands"))
     (dist.write.mode("append")

@@ -1,0 +1,171 @@
+"""Replay safety of the streaming jobs (ADVICE r4 items 1+2).
+
+The crash window: foreachBatch writes batch N's index partitions, then
+the process dies BEFORE the checkpoint commit.  On restart Spark
+replays batch N — whose own rows are now already in the index.  The
+fixed jobs exclude ``batch = N`` from every index read
+(engine/streaming._stream_index_tail), so the replay sees exactly the
+pre-batch state and rewrites its partitions identically.
+
+These tests drive the module-level per-batch functions directly (the
+same functions foreachBatch calls) so the replay can be invoked
+without forging checkpoint internals.
+"""
+
+from pyspark.sql import functions as F
+
+from engine.streaming import _clean_one_batch, _neardup_one_batch
+from tests.test_streaming_neardup import _DOCS_1, _DOCS_2, _write
+
+
+def _rows(spark, path, cols):
+    return sorted(tuple(r) for r in
+                  spark.read.parquet(path).select(*cols).collect())
+
+
+def test_stream_clean_replay_rewrites_batch_identically(spark, tmp_path):
+    """The high-severity defect: pre-fix, a replayed batch read its own
+    survivor hashes and the left_anti join dropped the whole batch —
+    cleaned/batch=N was rewritten EMPTY."""
+    work = str(tmp_path / "work")
+    b0 = spark.createDataFrame(_DOCS_1, "doc_id long, text string")
+    _clean_one_batch(spark, b0, 0, work)
+
+    batch1 = [
+        (11, _DOCS_1[0][1]),                      # exact copy of doc 1
+        (13, "a fresh report about the annual harvest and the farmers "
+             "who gathered it was mailed to editor@example.com for "
+             "review by the board"),
+    ]
+    b1 = spark.createDataFrame(batch1, "doc_id long, text string")
+    _clean_one_batch(spark, b1, 1, work)
+
+    cleaned = _rows(spark, f"{work}/cleaned/batch=1", ["doc_id", "text"])
+    hashes = _rows(spark, f"{work}/index/hashes/batch=1",
+                   ["content_hash", "doc_id"])
+    metrics = _rows(spark, f"{work}/metrics/batch=1",
+                    ["batch_id", "rows_in", "after_gates",
+                     "after_exact_dedup", "after_neardup_removal"])
+    assert [d for d, _ in cleaned] == [13]  # 11 deduped vs indexed doc 1
+
+    # replay batch 1 (index partitions for batch=1 already exist)
+    _clean_one_batch(spark, b1, 1, work)
+    assert _rows(spark, f"{work}/cleaned/batch=1",
+                 ["doc_id", "text"]) == cleaned
+    assert _rows(spark, f"{work}/index/hashes/batch=1",
+                 ["content_hash", "doc_id"]) == hashes
+    assert _rows(spark, f"{work}/metrics/batch=1",
+                 ["batch_id", "rows_in", "after_gates",
+                  "after_exact_dedup", "after_neardup_removal"]) == metrics
+
+
+def test_stream_neardup_replay_identical_pairs_and_jaccard(spark, tmp_path):
+    """The medium defect: pre-fix, a replayed batch unioned its own
+    shingles into dist_all TWICE, inflating n_common/sizes and shifting
+    the jaccard values (and potentially the >=0.2 survivor set)."""
+    inp = str(tmp_path / "in")  # unused; direct per-batch invocation
+    idx = str(tmp_path / "index")
+    pairs = str(tmp_path / "pairs")
+    del inp
+
+    b0 = spark.createDataFrame(_DOCS_1, "doc_id long, text string")
+    _neardup_one_batch(spark, b0, 0, idx, pairs)
+    b1 = spark.createDataFrame(_DOCS_2, "doc_id long, text string")
+    _neardup_one_batch(spark, b1, 1, idx, pairs)
+
+    got = _rows(spark, f"{pairs}/batch=1", ["doc_a", "doc_b", "jaccard"])
+    assert [(a, b) for a, b, _ in got] == [(1, 6)]
+    j_original = got[0][2]
+
+    # replay batch 1: pairs AND the jaccard value must be unchanged
+    _neardup_one_batch(spark, b1, 1, idx, pairs)
+    replay = _rows(spark, f"{pairs}/batch=1", ["doc_a", "doc_b", "jaccard"])
+    assert replay == got
+    assert replay[0][2] == j_original
+    # index partitions rewritten identically too
+    assert (_rows(spark, f"{idx}/dist/batch=1", ["doc_id", "h"])
+            == _rows(spark, f"{idx}/dist/batch=1", ["doc_id", "h"]))
+    assert spark.read.parquet(f"{idx}/dist") \
+        .select("doc_id").distinct().count() == 5
+
+
+def test_stream_neardup_bucketed_index_mode(spark, tmp_path):
+    """VERDICT r4 'What's wrong' 1: after compaction the hot loop must
+    candidate-join against the bucketed tables IN PLACE (plan shows the
+    bucketed scan) with the uncompacted tail on top — and produce the
+    same pairs as the plain-dir path."""
+    from engine.index import compact_stream_index
+
+    idx = str(tmp_path / "index")
+    pairs = str(tmp_path / "pairs")
+
+    b0 = spark.createDataFrame(_DOCS_1, "doc_id long, text string")
+    _neardup_one_batch(spark, b0, 0, idx, pairs)
+    compact_stream_index(spark, idx, "t_hot", str(tmp_path / "bidx"))
+
+    # batch 1 arrives post-compaction; batch 2 lands in the
+    # uncompacted tail before batch 3 runs — all three index layers
+    # (bucketed table, tail dir, batch itself) are exercised
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        probe = []
+        b1 = spark.createDataFrame(_DOCS_2, "doc_id long, text string")
+        _neardup_one_batch(spark, b1, 1, idx, pairs,
+                           bucketed_name="t_hot", plan_probe=probe)
+        got1 = _rows(spark, f"{pairs}/batch=1", ["doc_a", "doc_b"])
+        assert got1 == [(1, 6)]  # caught vs the COMPACTED corpus
+        plan = probe[0]
+        assert "Bucketed: true" in plan, plan
+        assert ("FileScan parquet spark_catalog.default"
+                ".t_hot_bands") in plan
+        # the bucketed join shuffles ONLY the arriving side: exactly
+        # one single-column band_key exchange in the whole plan (the
+        # tail join's exchanges are composite (band_key, band_id) and
+        # the bucketed scan itself feeds its join exchange-free)
+        import re
+        solo = re.findall(r"Exchange hashpartitioning\(band_key#\d+L?,"
+                          r" \d+\)", plan)
+        assert len(solo) == 1, plan
+
+        # near-dup of tail doc 7 arrives in batch 2
+        b2 = spark.createDataFrame(
+            [(21, _DOCS_2[1][1] + " until dawn")],
+            "doc_id long, text string")
+        _neardup_one_batch(spark, b2, 2, idx, pairs,
+                           bucketed_name="t_hot")
+        got2 = _rows(spark, f"{pairs}/batch=2", ["doc_a", "doc_b"])
+        assert got2 == [(7, 21)]  # caught vs the UNCOMPACTED tail
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    # replay safety holds in bucketed mode too
+    _neardup_one_batch(spark, b2, 2, idx, pairs, bucketed_name="t_hot")
+    assert _rows(spark, f"{pairs}/batch=2", ["doc_a", "doc_b"]) == got2
+
+
+def test_stream_clean_bucketed_index_mode(spark, tmp_path):
+    """stream_clean's near-dup step through the compacted tables: a
+    near-dup of a compacted survivor is still dropped, and the plan
+    reads the bucketed index in place."""
+    from engine.index import compact_stream_index
+
+    work = str(tmp_path / "work")
+    b0 = spark.createDataFrame(_DOCS_1, "doc_id long, text string")
+    _clean_one_batch(spark, b0, 0, work)
+    compact_stream_index(spark, work + "/index", "t_cln",
+                         str(tmp_path / "bidx"))
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        probe = []
+        b1 = spark.createDataFrame(
+            [(12, _DOCS_1[1][1] + " and the cellar")],  # near-dup of 2
+            "doc_id long, text string")
+        _clean_one_batch(spark, b1, 1, work, bucketed_name="t_cln",
+                         plan_probe=probe)
+        assert _rows(spark, f"{work}/cleaned/batch=1", ["doc_id"]) == []
+        assert "Bucketed: true" in probe[0], probe[0]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
