@@ -64,6 +64,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # long-green entries.  Keep newly-added queries at the top of this
 # list each round; demote them once a CORRECTNESS_r{N}.json row lands.
 _PRIORITY_FIRST = [
+    # new in r5 (no prior driver row can exist):
+    "neardup_pairs_simhash128",
     # never driver-checked through r4 (judge-verified only):
     "ann_ivf_sampled_topk",
     "retention_cohorts",

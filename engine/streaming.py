@@ -151,7 +151,8 @@ def _folded_batches(spark: SparkSession, name: str) -> list:
 def _stream_neardup_pairs(spark: SparkSession, dist_arr, bands_arr,
                           index_dir: str, batch_id,
                           bucketed_name: str | None = None,
-                          plan_probe: list | None = None):
+                          plan_probe: list | None = None,
+                          chunks_arr=None):
     """Verified near-dup pairs (≥1 arriving member) of a micro-batch
     against the persisted index — the shared candidate+verify step of
     stream_dedup_neardup and stream_clean.
@@ -162,8 +163,19 @@ def _stream_neardup_pairs(spark: SparkSession, dist_arr, bands_arr,
     the batch itself.  The bucketed join keys on ``band_key`` alone
     (the bucket column — a composite key disables the bucketed scan);
     the candidate superset is closed by the exact-Jaccard verify.
-    The tail join keeps the stricter (band_id, band_key) key."""
-    from engine.analytics import _verify_jaccard
+    The tail join keeps the stricter (band_id, band_key) key.
+
+    ``chunks_arr``: when given (the ``sketch="simhash128"`` path),
+    candidates come from 32-bit simhash-chunk buckets of the arriving
+    chunks against the persisted chunk index (``{index_dir}/chunks``)
+    instead of MinHash bands — the near-identical-doc generator; the
+    exact-Jaccard verify is unchanged.  Mutually exclusive with
+    ``bucketed_name`` (the bucketed tables are MinHash-band layout)."""
+    from engine.analytics import _SIMHASH128_CHUNKS, _verify_jaccard
+
+    if chunks_arr is not None and bucketed_name is not None:
+        raise ValueError("simhash128 sketch and bucketed band index "
+                         "are mutually exclusive")
 
     use_tables = (bucketed_name is not None
                   and spark.catalog.tableExists(f"{bucketed_name}_bands"))
@@ -185,7 +197,22 @@ def _stream_neardup_pairs(spark: SparkSession, dist_arr, bands_arr,
                 .select(F.least("a.doc_id", "b.doc_id").alias("doc_a"),
                         F.greatest("a.doc_id", "b.doc_id").alias("doc_b")))
 
-    if use_tables:
+    if chunks_arr is not None:
+        chunk_cols = ["doc_id"] + [f"c{c}"
+                                   for c in range(_SIMHASH128_CHUNKS)]
+        tail_chunks = _stream_index_tail(spark, f"{index_dir}/chunks",
+                                         chunk_cols, batch_id, [])
+        all_chunks = (chunks_arr if tail_chunks is None
+                      else tail_chunks.unionAll(chunks_arr))
+
+        def _cbands(df):
+            return df.select("doc_id", F.posexplode(F.array(*[
+                F.col(f"c{c}") for c in range(_SIMHASH128_CHUNKS)]))
+                .alias("band_id", "band_key"))
+
+        cand = _band_join(_cbands(chunks_arr), _cbands(all_chunks),
+                          on_band_id=True).distinct()
+    elif use_tables:
         dist_all = (spark.table(f"{bucketed_name}_dist")
                     .select("doc_id", "h").unionAll(dist_all))
         cand = _band_join(bands_arr,
@@ -213,7 +240,8 @@ def stream_clean(spark: SparkSession, input_path: str, work_dir: str,
                  checkpoint_path: str, available_now: bool = True,
                  gopher_gate: bool = False,
                  bucketed_name: str | None = None,
-                 plan_probe: list | None = None):
+                 plan_probe: list | None = None,
+                 sketch: str = "minhash"):
     """STREAMING corpus cleaning — the continuously-landing form of
     engine/cleaning.py's batch job, composed from the family's
     streaming members: per micro-batch,
@@ -263,7 +291,7 @@ def stream_clean(spark: SparkSession, input_path: str, work_dir: str,
         _clean_one_batch(spark, batch_df, batch_id, work_dir,
                          gopher_gate=gopher_gate,
                          bucketed_name=bucketed_name,
-                         plan_probe=plan_probe)
+                         plan_probe=plan_probe, sketch=sketch)
 
     writer = (stream.writeStream.foreachBatch(_process)
               .option("checkpointLocation", checkpoint_path))
@@ -275,11 +303,18 @@ def stream_clean(spark: SparkSession, input_path: str, work_dir: str,
 def _clean_one_batch(spark: SparkSession, batch_df, batch_id,
                      work_dir: str, gopher_gate: bool = False,
                      bucketed_name: str | None = None,
-                     plan_probe: list | None = None) -> None:
+                     plan_probe: list | None = None,
+                     sketch: str = "minhash") -> None:
     """One stream_clean micro-batch — module-level so the replay test
     can re-invoke it with the same batch_id and assert the rewrite is
-    identical (the crash-after-index-write/before-commit window)."""
-    from engine.analytics import _hashed_shingles_df, _minhash_bands
+    identical (the crash-after-index-write/before-commit window).
+
+    ``sketch="simhash128"`` switches the near-dup candidate generator
+    to 128-bit simhash chunk buckets (see engine/cleaning.neardup_pairs
+    for the trade); the stream then persists a ``chunks`` index instead
+    of ``bands`` — pick ONE sketch for a stream's lifetime."""
+    from engine.analytics import (_hashed_shingles_df, _minhash_bands,
+                                  _simhash128_chunks)
     from engine.cleaning import (gopher_repetition_gate, pii_scrub_text,
                                  quality_language_gate)
 
@@ -309,9 +344,18 @@ def _clean_one_batch(spark: SparkSession, batch_df, batch_id,
 
     dist_arr = _hashed_shingles_df(
         exact.select("doc_id", "text")).persist()
-    bands_arr = _minhash_bands(dist_arr).persist()
+    if sketch == "simhash128":
+        bands_arr = None
+        chunks_arr = _simhash128_chunks(
+            exact.select("doc_id", "text")).persist()
+    elif sketch == "minhash":
+        bands_arr = _minhash_bands(dist_arr).persist()
+        chunks_arr = None
+    else:
+        raise ValueError(f"unknown near-dup sketch: {sketch!r}")
     drop = (_stream_neardup_pairs(spark, dist_arr, bands_arr, idx,
-                                  batch_id, bucketed_name, plan_probe)
+                                  batch_id, bucketed_name, plan_probe,
+                                  chunks_arr=chunks_arr)
             .select(F.col("doc_b").alias("doc_id")).distinct())
     survivors = exact.join(drop, "doc_id", "left_anti").persist()
     n_surv = survivors.count()
@@ -324,16 +368,22 @@ def _clean_one_batch(spark: SparkSession, batch_df, batch_id,
     surv_ids = survivors.select("doc_id")
     dist_arr.join(surv_ids, "doc_id", "left_semi").write \
         .mode("overwrite").parquet(f"{idx}/dist/batch={batch_id}")
-    bands_arr.join(surv_ids, "doc_id", "left_semi").write \
-        .mode("overwrite").parquet(f"{idx}/bands/batch={batch_id}")
+    if bands_arr is not None:
+        bands_arr.join(surv_ids, "doc_id", "left_semi").write \
+            .mode("overwrite").parquet(f"{idx}/bands/batch={batch_id}")
+    if chunks_arr is not None:
+        chunks_arr.join(surv_ids, "doc_id", "left_semi").write \
+            .mode("overwrite").parquet(f"{idx}/chunks/batch={batch_id}")
     spark.createDataFrame(
         [(batch_id, n_in, n_gated, n_exact, n_surv)],
         "batch_id long, rows_in long, after_gates long, "
         "after_exact_dedup long, after_neardup_removal long") \
         .coalesce(1).write.mode("overwrite") \
         .parquet(f"{work_dir}/metrics/batch={batch_id}")
-    for df in (batch, gated, exact, dist_arr, bands_arr, survivors):
-        df.unpersist()
+    for df in (batch, gated, exact, dist_arr, bands_arr, chunks_arr,
+               survivors):
+        if df is not None:
+            df.unpersist()
 
 
 CONV_STATE_SCHEMA = "n_turns LONG, n_records LONG, max_turn_idx LONG"

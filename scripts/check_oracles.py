@@ -57,6 +57,10 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        # queries may leave persisted frames behind by design
+        # (iterative loops); drop them so a 58-query session doesn't
+        # degrade into LRU-eviction noise (ADVICE r4 item 5)
+        spark.catalog.clearCache()
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:

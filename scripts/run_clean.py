@@ -27,6 +27,12 @@ def main() -> None:
     p.add_argument("--gopher-gate", action="store_true",
                    help="also drop repeated-boilerplate docs "
                         "(Gopher dup-3gram / top-bigram thresholds)")
+    p.add_argument("--sketch", default="minhash",
+                   choices=["minhash", "simhash128"],
+                   help="near-dup candidate generator: minhash "
+                        "(arbitrary >=0.2-Jaccard overlap) or "
+                        "simhash128 (near-identical docs; faster and "
+                        "saturation-proof past ~10^6 docs)")
     args = p.parse_args()
 
     from engine.cleaning import run_cleaning_job
@@ -36,7 +42,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     metrics = run_cleaning_job(spark, args.input, args.output,
                                neardup_policy=args.neardup_policy,
-                               gopher_gate=args.gopher_gate)
+                               gopher_gate=args.gopher_gate,
+                               sketch=args.sketch)
     print(json.dumps(metrics))
 
 

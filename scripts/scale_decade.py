@@ -43,7 +43,8 @@ WARM_DIR = "/root/testdata/sf0.001"
 SUITE = [
     "dedup_exact", "dedup_minhash_lsh", "dedup_minhash_incremental",
     "dedup_clusters", "dedup_ngram_jaccard", "dedup_simhash",
-    "simhash_hamming_candidates", "dedup_embedding_cosine",
+    "simhash_hamming_candidates", "simhash128_hamming_candidates",
+    "neardup_pairs_simhash128", "dedup_embedding_cosine",
     "ann_cosine_topk", "ann_lsh_top1", "ann_ivf_topk",
     "ann_ivf_sampled_topk", "winnowing_overlap", "fingerprint_winnowing",
     "pii_scrub", "cleaning_pass", "quality_score", "token_count",
@@ -142,6 +143,15 @@ def main() -> None:
         m = run_cleaning_job(spark, f"{sf_dir}/documents.parquet",
                              f"/tmp/scale10_clean_{sf_name}")
         rec = {"query": f"cleaning_job_{sf_name}", **m}
+        results.append(rec)
+        print(json.dumps(rec))
+
+    # the r5 candidate-generator option: same job, simhash128 sketch
+    for sf_name, sf_dir in (("base", base_dir), ("10x", SCALE_DIR)):
+        m = run_cleaning_job(spark, f"{sf_dir}/documents.parquet",
+                             f"/tmp/scale10_clean_sim_{sf_name}",
+                             sketch="simhash128")
+        rec = {"query": f"cleaning_job_simhash128_{sf_name}", **m}
         results.append(rec)
         print(json.dumps(rec))
 

@@ -42,6 +42,42 @@ def test_ann_index_partition_pruned_probe_retrieves_plant(spark, tmp_path):
     assert len(cells) == 16
 
 
+def test_ann_index_append_keeps_pruning_and_measures_drift(
+        spark, tmp_path):
+    """Incremental serving index: appended vectors are assigned by the
+    FROZEN quantizer, probes stay partition-pruned and retrieve a
+    plant that arrived via append; heavy one-cell appends trip the
+    retrain advisory."""
+    from engine.index import append_to_ann_index
+
+    emb = _lsh_embeddings(
+        spark.read.parquet(f"{SF}/embeddings.parquet")).select("vec_id", "e")
+    path = str(tmp_path / "ivf_a")
+    base_half = emb.filter(F.col("vec_id") % 2 == 0)
+    write_ann_index(base_half, path)
+
+    # append the other half (same distribution: low drift)
+    stats = append_to_ann_index(emb.filter(F.col("vec_id") % 2 == 1), path)
+    assert stats["appended"] == emb.count() - base_half.count()
+    assert not stats["retrain_advised"], stats
+
+    # a plant that ONLY exists in the appended half is retrievable,
+    # partition-pruned as before
+    target = emb.filter(F.col("vec_id") == 11).first().e
+    qvec = [target[0] + 0.01] + list(target[1:])
+    top = ann_query_index(spark, path, qvec, nprobe=2, k=5).collect()
+    assert top[0].vec_id == 11 and top[0].cosine > 0.99
+
+    # drift: pile many copies of one vector into one cell -> skew
+    # passes the bound and the append advises a retrain
+    clones = (emb.filter(F.col("vec_id") == 0)
+              .crossJoin(spark.range(3000).select(
+                  (F.col("id") + 100000).alias("nid")))
+              .select(F.col("nid").alias("vec_id"), "e"))
+    stats2 = append_to_ann_index(clones, path, skew_bound=4.0)
+    assert stats2["retrain_advised"], stats2
+
+
 def test_ann_index_sampled_fit_and_wider_probe(spark, tmp_path):
     """train_limit flows through; widening nprobe can only add
     candidates (the top-1 stays put)."""

@@ -34,6 +34,38 @@ def test_connected_components_largest_id_in_middle(spark):
     assert got == {1: 1, 2: 1, 9: 1}
 
 
+def test_connected_components_chain_converges_logarithmically(spark):
+    """Pointer jumping (VERDICT r4 item 2): a pure chain of depth 16 —
+    the worst case for one-hop propagation (16 rounds) — must converge
+    in <= 4 rounds (the min label travels ~2^(r+1) hops by round r) and
+    still label every node with the chain head."""
+    from engine.analytics import _connected_components as cc
+
+    # label distance covered by round r is ~2^(r+1)-2 (propagate one
+    # hop, then jump doubles); +1 round for the fixpoint detection
+    for depth, budget in ((8, 4), (30, 6)):
+        rows = [(i, i + 1) for i in range(depth)]
+        pairs = spark.createDataFrame(rows, "doc_a long, doc_b long")
+        stats = {}
+        got = {r.doc_id: r.cluster_id
+               for r in cc(pairs, stats=stats).collect()}
+        assert got == {i: 0 for i in range(depth + 1)}
+        assert stats["iters"] <= budget, (depth, stats)
+
+
+def test_connected_components_raises_when_budget_exhausted(spark):
+    """ADVICE r4: exhausting max_iters must fail loudly, never return
+    split clusters."""
+    import pytest
+
+    from engine.analytics import _connected_components as cc
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(8)],
+                                  "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        cc(pairs, max_iters=1)
+
+
 def test_connected_components_label_flows_against_edge_direction(spark):
     """Min id reachable only via a higher-id hub: (5, 9), (3, 9), (1, 5)
     — label 1 must propagate 1→5→9→3 across three iterations."""

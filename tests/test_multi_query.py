@@ -194,8 +194,11 @@ def test_multi_query_per_query_resume(spark, tmp_path):
 
 
 def test_multi_query_changed_text_invalidates_only_that_query(spark, tmp_path):
-    """Changing ONE query's text must refuse to silently mix: the
-    changed query's lineage snapshot mismatches and the job raises."""
+    """Changing ONE query's text marks its lineage rows stale and
+    recomputes exactly that query (output overwritten wholesale) —
+    while an UNCHANGED sibling query stays done; changing the SHARED
+    config (n_buckets) still refuses (bucket spaces would not line up
+    for overwrite)."""
     import pytest
 
     from engine.pipeline import (JobConfig, SnapshotMismatch,
@@ -209,11 +212,36 @@ def test_multi_query_changed_text_invalidates_only_that_query(spark, tmp_path):
 
     run_extraction_job(spark, JobConfig(
         input_path=inp, output_path=out, lineage_path=lin,
-        query="", queries={"a": CANONICAL_QUERY}, n_buckets=2))
+        query="", queries={"a": CANONICAL_QUERY,
+                           "b": QUERIES["q_title"]}, n_buckets=2))
+
+    # change query a's text: a recomputes (2 buckets), b stays done
+    m = run_extraction_job(spark, JobConfig(
+        input_path=inp, output_path=out, lineage_path=lin,
+        query="", queries={"a": QUERIES["q_title"],
+                           "b": QUERIES["q_title"]}, n_buckets=2))
+    assert m["buckets_processed"] == 2
+    got = spark.read.parquet(out)
+    # a's output was replaced: both query partitions now extract the
+    # same (title) query, so their per-query row counts agree
+    counts = {r.query_id: r["count"] for r in
+              got.groupBy("query_id").count().collect()}
+    assert counts["a"] == counts["b"] == 12
+
+    # flip a's text BACK: ambiguous lineage (matching + stale rows,
+    # no commit order) -> conservative recompute, never trust-as-done
+    m2 = run_extraction_job(spark, JobConfig(
+        input_path=inp, output_path=out, lineage_path=lin,
+        query="", queries={"a": CANONICAL_QUERY,
+                           "b": QUERIES["q_title"]}, n_buckets=2))
+    assert m2["buckets_processed"] == 2
+
+    # shared-config change is still a hard refusal
     with pytest.raises(SnapshotMismatch):
         run_extraction_job(spark, JobConfig(
             input_path=inp, output_path=out, lineage_path=lin,
-            query="", queries={"a": QUERIES["q_title"]}, n_buckets=2))
+            query="", queries={"a": CANONICAL_QUERY,
+                               "b": QUERIES["q_title"]}, n_buckets=4))
 
 
 def test_multi_query_id_column_first(spark):
