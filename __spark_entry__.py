@@ -66,6 +66,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY_FIRST = [
     # new in r5 (no prior driver row can exist):
     "neardup_pairs_simhash128",
+    "sample_stratified",
+    "pack_token_budget",
     # never driver-checked through r4 (judge-verified only):
     "ann_ivf_sampled_topk",
     "retention_cohorts",

@@ -1202,6 +1202,99 @@ def q_neardup_pairs_simhash128(spark, sf_dir):
     return neardup_pairs(docs.unionAll(perturbed), sketch="simhash128")
 
 
+# deterministic per-document uniform in [0, 1): the low 60 bits of
+# md5(doc_id-as-string) over 2^60 — the same cross-engine-identical
+# 60-bit construction the shingle hashes use (NOTES r2)
+_SPARK_DOC_U = ("cast(conv(substr(md5(cast(cast(doc_id AS string) AS "
+                "binary)), 18, 15), 16, 10) AS double) / 1152921504606846976")
+_DUCK_DOC_U = ("(('0x' || substr(md5(doc_id::VARCHAR), 18, 15))::BIGINT"
+               "::DOUBLE / 1152921504606846976)")
+
+# per-source target keep rate in {1/8 .. 8/8}, a closed form over the
+# source name so both engines embed the same policy without a literal
+# rate table
+# cast: Spark types int / 8.0 as DECIMAL (a '0.3750'-vs-'0.375'
+# hash mismatch against DuckDB's DOUBLE), so force double
+_SPARK_SRC_RATE = ("cast((1 + (cast(substr(source, 4, 8) AS int) % 8)) "
+                   "/ 8.0 AS double)")
+_DUCK_SRC_RATE = "((1 + (substr(source, 4, 8)::INT % 8)) / 8.0)"
+
+_DUCK_STRATIFIED = f"""
+SELECT doc_id, source,
+       ROUND({_DUCK_SRC_RATE}, 4) AS rate
+FROM documents
+WHERE {_DUCK_DOC_U} < {_DUCK_SRC_RATE}
+"""
+
+
+@register("sample_stratified", _DUCK_STRATIFIED)
+def q_sample_stratified(spark, sf_dir):
+    """Stratified corpus sampling — the domain-mixture step of a
+    training-data pipeline (down-weight over-represented sources,
+    keep rare ones whole): keep a document iff its DETERMINISTIC
+    per-doc uniform (low 60 md5 bits / 2^60) falls under its
+    stratum's target rate.  A pure projection-filter: no shuffle, no
+    RNG state, reproducible across engines, restarts, and partition
+    layouts — at 100 TB the sample is a predicate, not a job."""
+    docs = _t(spark, sf_dir, "documents")
+    return (docs
+            .filter(F.expr(_SPARK_DOC_U) < F.expr(_SPARK_SRC_RATE))
+            .select("doc_id", "source",
+                    F.round(F.expr(_SPARK_SRC_RATE), 4).alias("rate")))
+
+
+_PACK_BUDGET = 2048  # tokens per shard (test-scale context budget)
+_PACK_BLOCK = 64     # doc_ids per prefix-sum block
+
+_DUCK_PACK = f"""
+WITH toks AS (
+  SELECT doc_id, len({_DUCK_TOKS}) AS ntok FROM documents
+)
+SELECT doc_id, ntok,
+       CAST(FLOOR((SUM(ntok) OVER (ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) - ntok)
+                  / {_PACK_BUDGET}) AS BIGINT) AS shard_id
+FROM toks
+"""
+
+
+@register("pack_token_budget", _DUCK_PACK)
+def q_pack_token_budget(spark, sf_dir):
+    """Token-budget shard packing — assign documents (in doc_id
+    order) to ~{budget}-token shards for sequence-packing a training
+    run: shard_id = floor(prefix_sum_before / budget).
+
+    The oracle computes the prefix sum with a GLOBAL window — a
+    single-partition sort that would serialize at 10^9 docs.  The
+    Spark side computes the SAME numbers with the scalable two-level
+    prefix sum: per-block token sums (one combinable groupBy over
+    doc_id div {_PACK_BLOCK}), a running offset over the tiny block
+    table, then a window PARTITIONED BY block (each window sees
+    {_PACK_BLOCK} rows) — no global sort over the corpus; the only
+    single-partition window runs over the BLOCK table
+    (n_docs/{_PACK_BLOCK} rows — size the block so that table stays
+    small: 10^5-doc blocks keep 10^9 docs at 10^4 block rows), and
+    the only broadcast is the block-offset table.  Identical output,
+    cluster-shaped plan."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.expr(f"size({_SPARK_TOKS})").cast("long").alias("ntok"),
+        (F.col("doc_id") / _PACK_BLOCK).cast("long").alias("blk"))
+    blk_tot = toks.groupBy("blk").agg(F.sum("ntok").alias("btok"))
+    w_blk = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = blk_tot.select(
+        "blk", F.coalesce(F.sum("btok").over(w_blk), F.lit(0))
+        .alias("offset"))
+    w_in = (Window.partitionBy("blk").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    return (toks.join(F.broadcast(offsets), "blk")
+            .select("doc_id", "ntok",
+                    F.floor((F.col("offset")
+                             + F.coalesce(F.sum("ntok").over(w_in),
+                                          F.lit(0)))
+                            / _PACK_BUDGET).alias("shard_id")))
+
+
 _DUCK_MM = f"""
 WITH h AS (
   SELECT doc_id AS media_id,

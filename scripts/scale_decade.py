@@ -49,6 +49,7 @@ SUITE = [
     "ann_ivf_sampled_topk", "winnowing_overlap", "fingerprint_winnowing",
     "pii_scrub", "cleaning_pass", "quality_score", "token_count",
     "lang_id_heuristic", "doc_fingerprint",
+    "sample_stratified", "pack_token_budget",
 ]
 if os.environ.get("SCALE_SUITE"):  # subset override for re-runs
     SUITE = os.environ["SCALE_SUITE"].split(",")
