@@ -114,11 +114,13 @@ def compact_stream_index(spark: SparkSession, stream_index_dir: str,
     double-count a batch's shingles.  Rerunning a crashed compaction
     is the (idempotent) recovery; run compactions between stream
     triggers, not concurrently with one."""
+    import os as _os
+
     dist = (spark.read.parquet(f"{stream_index_dir}/dist")
             .select("doc_id", "h", "batch"))
     bands = (spark.read.parquet(f"{stream_index_dir}/bands")
              .select("doc_id", "band_id", "band_key", "batch"))
-    for tbl in (f"{name}_bands", f"{name}_dist"):
+    for tbl in (f"{name}_bands", f"{name}_dist", f"{name}_hashes"):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     (bands.write.mode("overwrite")
      .bucketBy(n_buckets, "band_key").sortBy("band_key")
@@ -128,6 +130,16 @@ def compact_stream_index(spark: SparkSession, stream_index_dir: str,
      .bucketBy(n_buckets, "doc_id").sortBy("doc_id")
      .option("path", f"{path}/dist")
      .saveAsTable(f"{name}_dist"))
+    # stream_clean indexes carry a survivor-hash dir too — fold it
+    # into a content_hash-bucketed table so the exact-dedup anti-join
+    # also reads its corpus side in place
+    if _os.path.isdir(f"{stream_index_dir}/hashes"):
+        hashes = (spark.read.parquet(f"{stream_index_dir}/hashes")
+                  .select("content_hash", "doc_id", "batch"))
+        (hashes.write.mode("overwrite")
+         .bucketBy(n_buckets, "content_hash").sortBy("content_hash")
+         .option("path", f"{path}/hashes")
+         .saveAsTable(f"{name}_hashes"))
 
 
 def write_ann_index(emb: DataFrame, path: str,

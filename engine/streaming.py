@@ -136,13 +136,13 @@ def _stream_index_tail(spark: SparkSession, dir_: str, cols, batch_id,
     return df.select(*cols)
 
 
-def _folded_batches(spark: SparkSession, name: str) -> list:
-    """Batch ids already folded into the bucketed index tables — read
+def _folded_batches(spark: SparkSession, table: str) -> list:
+    """Batch ids already folded into a bucketed index table — read
     from the table itself (single source of truth: no side marker file
     whose crash-window staleness could double-count a batch).  The
     collect is driver-sized metadata (one id per micro-batch ever
     compacted)."""
-    tbl = spark.table(f"{name}_bands")
+    tbl = spark.table(table)
     if "batch" not in tbl.columns:
         return []
     return [r.batch for r in tbl.select("batch").distinct().collect()]
@@ -179,7 +179,8 @@ def _stream_neardup_pairs(spark: SparkSession, dist_arr, bands_arr,
 
     use_tables = (bucketed_name is not None
                   and spark.catalog.tableExists(f"{bucketed_name}_bands"))
-    folded = _folded_batches(spark, bucketed_name) if use_tables else []
+    folded = (_folded_batches(spark, f"{bucketed_name}_bands")
+              if use_tables else [])
     tail_dist = _stream_index_tail(spark, f"{index_dir}/dist",
                                    ["doc_id", "h"], batch_id, folded)
     tail_bands = _stream_index_tail(spark, f"{index_dir}/bands",
@@ -331,11 +332,26 @@ def _clean_one_batch(spark: SparkSession, batch_df, batch_id,
         F.md5(F.col("text").cast("binary"))).persist()
     n_gated = gated.count()
 
-    # survivor hash index, minus this batch's own partition (replay)
+    # survivor hash index, minus this batch's own partition (replay).
+    # With a compacted bucketed hashes table, the anti-join keys on
+    # the bucket column (content_hash) and reads the table in place —
+    # the exact-dedup analogue of the band-index hot loop; the
+    # uncompacted tail dirs union on top.
+    use_hash_tbl = (bucketed_name is not None and
+                    spark.catalog.tableExists(f"{bucketed_name}_hashes"))
+    folded_h = (_folded_batches(spark, f"{bucketed_name}_hashes")
+                if use_hash_tbl else [])
     seen = _stream_index_tail(spark, f"{idx}/hashes",
-                              ["content_hash"], batch_id, [])
-    fresh = gated if seen is None else gated.join(seen, "content_hash",
-                                                  "left_anti")
+                              ["content_hash"], batch_id, folded_h)
+    fresh = gated
+    if use_hash_tbl:
+        # separate anti-join (NOT unioned with the tail): a union
+        # would erase the table's bucketing and force a full shuffle
+        fresh = fresh.join(
+            spark.table(f"{bucketed_name}_hashes").select("content_hash"),
+            "content_hash", "left_anti")
+    if seen is not None:
+        fresh = fresh.join(seen, "content_hash", "left_anti")
     w_keep = (fresh.groupBy("content_hash")
               .agg(F.min("doc_id").alias("doc_id")))
     exact = fresh.join(w_keep, ["content_hash", "doc_id"],

@@ -161,11 +161,30 @@ def test_stream_clean_bucketed_index_mode(spark, tmp_path):
     try:
         probe = []
         b1 = spark.createDataFrame(
-            [(12, _DOCS_1[1][1] + " and the cellar")],  # near-dup of 2
+            [(12, _DOCS_1[1][1] + " and the cellar"),  # near-dup of 2
+             (13, _DOCS_1[0][1])],                     # exact copy of 1
             "doc_id long, text string")
         _clean_one_batch(spark, b1, 1, work, bucketed_name="t_cln",
                          plan_probe=probe)
+        # 12 dropped by the near-dup band table, 13 by the bucketed
+        # exact-hash table — both corpus sides read in place
         assert _rows(spark, f"{work}/cleaned/batch=1", ["doc_id"]) == []
         assert "Bucketed: true" in probe[0], probe[0]
+
+        # the exact-dedup anti-join engages the hashes table's
+        # bucketing: keyed on the bucket column, the bucketed scan
+        # feeds the join without an index-side exchange
+        from engine.analytics import _verify_jaccard  # noqa: F401
+        from pyspark.sql import functions as F
+        gated = b1.withColumn(
+            "content_hash", F.md5(F.col("text").cast("binary")))
+        j = gated.join(spark.table("t_cln_hashes")
+                       .select("content_hash"),
+                       "content_hash", "left_anti")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan, plan
+        scan_at = plan.index("FileScan parquet spark_catalog.default"
+                             ".t_cln_hashes")
+        assert "Exchange" not in plan[scan_at:], plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
