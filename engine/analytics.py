@@ -2956,3 +2956,169 @@ def q_embedding_norm_stats(spark, sf_dir):
             .groupBy("label")
             .agg(F.count("*").alias("n"),
                  F.round(F.avg(l2), 3).alias("avg_l2")))
+
+
+# ---------------------------------------------------------------------------
+# r5 tail — corpus-LM quality filter, TF-IDF key terms, deterministic
+# training-order shuffle
+# ---------------------------------------------------------------------------
+
+_LM_KEEP_BITS = 4.95  # bits/token ceiling (≈ p90 of the synthetic corpus)
+
+_DUCK_LM = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
+), vocab AS (
+  SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+), tot AS (
+  SELECT SUM(c) AS t FROM vocab
+), contrib AS (
+  SELECT t2.doc_id, CAST(ROUND(log2(v.c) * 1000000) AS BIGINT) AS lg
+  FROM toks t2 JOIN vocab v USING (tok)
+), scored AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         ROUND(log2((SELECT CAST(t AS DOUBLE) FROM tot))
+               - (CAST(SUM(lg) AS DOUBLE) / 1000000.0) / COUNT(*), 4)
+           AS bits_per_token
+  FROM contrib GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, bits_per_token,
+       CAST(bits_per_token <= {_LM_KEEP_BITS} AS INT) AS keep
+FROM scored
+"""
+
+
+@register("lm_perplexity_filter", _DUCK_LM)
+def q_lm_perplexity_filter(spark, sf_dir):
+    """CCNet-style unigram-LM perplexity filtering (Wenzek et al.,
+    the canonical pretraining quality gate): train a unigram LM on the
+    corpus itself (token counts / total), score each document by mean
+    -log2 p(token) = bits/token, keep documents under a ceiling
+    (keyword salads and mojibake score high; fluent prose low).
+
+    Cross-engine float determinism: per-token contributions are
+    quantized to BIGINT micro-bits (round(log2(count)·1e6)) BEFORE the
+    per-doc sum, so the aggregation is exact integer arithmetic in any
+    summation order; only the final scalar expression touches doubles,
+    identically on both engines.
+
+    Scale shape: vocab = one combinable groupBy over exploded tokens
+    (map-side partial aggs); the token×vocab join shuffles on the
+    token (at 100 TB, prune the vocab tail — hapaxes can fold into a
+    single UNK count — and the head of any Zipf vocab broadcasts);
+    per-doc scoring is another combinable groupBy.  Two shuffles, no
+    windows, no driver state: the LM *is* a DataFrame."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.expr(_SPARK_TOKS)).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    tot = vocab.agg(F.sum("c").alias("t"))  # 1 row → broadcast
+    contrib = (toks.join(vocab, "tok")
+               .select("doc_id",
+                       F.round(F.log2("c") * 1000000.0, 0).cast("long")
+                       .alias("lg")))
+    agg = contrib.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"), F.sum("lg").alias("s"))
+    bits = F.round(F.log2(F.col("t").cast("double"))
+                   - (F.col("s").cast("double") / 1000000.0)
+                   / F.col("n_tokens"), 4)
+    return (agg.crossJoin(F.broadcast(tot))
+            .withColumn("bits_per_token", bits)
+            .select("doc_id", "n_tokens", "bits_per_token",
+                    (F.col("bits_per_token") <= F.lit(_LM_KEEP_BITS))
+                    .cast("int").alias("keep")))
+
+
+_TFIDF_TOPK = 3
+
+_DUCK_TFIDF = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
+), dt AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok
+), dfc AS (
+  SELECT tok, COUNT(*) AS dfreq FROM dt GROUP BY tok
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT dt.doc_id, dt.tok, dt.tf,
+         dt.tf * CAST(ROUND(ln(CAST(n.n_docs AS DOUBLE) / dfc.dfreq)
+                            * 1000000) AS BIGINT) AS tfidf_micro
+  FROM dt JOIN dfc USING (tok) CROSS JOIN n
+)
+SELECT doc_id, tok AS term, tf, tfidf_micro, rnk
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf_micro DESC, tok) AS rnk
+      FROM scored)
+WHERE rnk <= {_TFIDF_TOPK}
+"""
+
+
+@register("tfidf_top_terms", _DUCK_TFIDF)
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-document top-{k} TF-IDF key terms — the classic corpus
+    summarization / topic-labeling step of a data-curation pipeline.
+    idf is quantized to BIGINT micro-nats (round(ln(N/df)·1e6)) so
+    tf·idf ranking and the cross-engine hash are exact integer
+    comparisons; ties break on the term string.
+
+    Scale shape: doc-term tf and term df are both combinable groupBys
+    (map-side partial aggs); N is a 1-row broadcast; the ranking
+    window partitions by doc_id, so every window instance sees only
+    one document's distinct terms — no global sort anywhere.  At
+    100 TB the df table shuffles on the term (or broadcasts after
+    min-df pruning); everything else is embarrassingly parallel."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.expr(_SPARK_TOKS)).alias("tok"))
+    dt = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dfc = dt.groupBy("tok").agg(F.count("*").alias("dfreq"))
+    n = docs.agg(F.count("*").alias("n_docs"))  # 1 row → broadcast
+    scored = (dt.join(dfc, "tok").crossJoin(F.broadcast(n))
+              .select("doc_id", F.col("tok").alias("term"), "tf",
+                      (F.col("tf")
+                       * F.round(F.log(F.col("n_docs").cast("double")
+                                       / F.col("dfreq")) * 1000000.0, 0)
+                       .cast("long")).alias("tfidf_micro")))
+    w = (Window.partitionBy("doc_id")
+         .orderBy(F.col("tfidf_micro").desc(), "term"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= _TFIDF_TOPK))
+
+
+_SHUF_DUCK = """
+SELECT doc_id,
+       ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+         AS pos
+FROM documents
+"""
+
+
+@register("corpus_shuffle", _SHUF_DUCK)
+def q_corpus_shuffle(spark, sf_dir):
+    """Deterministic global training-order shuffle: every document
+    gets a stable pseudo-random position (rank of md5(doc_id)) —
+    reproducible across engines, restarts and partition layouts, so
+    the training order is a *property of the corpus*, not of a run.
+
+    The oracle ranks with a GLOBAL window (single-partition sort —
+    the shape that serializes at 10^9 docs).  The Spark side computes
+    the SAME positions with the two-level scheme: the first hex byte
+    of the key is the block (256 blocks; widen the prefix at larger
+    corpora), block counts make a tiny offset table (the only
+    single-partition window runs over ≤256 rows), and positions are
+    offset + row_number within the block — the corpus-side window
+    partitions by block and sorts only within it.  String order over
+    hex is ASCII in both engines, so block order == key order."""
+    docs = _t(spark, sf_dir, "documents")
+    keyed = (docs.select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string").cast("binary")).alias("k"))
+        .withColumn("blk", F.substring("k", 1, 2)))
+    blk_cnt = keyed.groupBy("blk").agg(F.count("*").alias("n"))
+    w_blk = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = blk_cnt.select(
+        "blk", F.coalesce(F.sum("n").over(w_blk), F.lit(0)).alias("off"))
+    w_in = Window.partitionBy("blk").orderBy("k", "doc_id")
+    return (keyed.join(F.broadcast(offsets), "blk")
+            .select("doc_id",
+                    (F.col("off") + F.row_number().over(w_in))
+                    .cast("long").alias("pos")))

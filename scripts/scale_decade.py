@@ -50,6 +50,7 @@ SUITE = [
     "pii_scrub", "cleaning_pass", "quality_score", "token_count",
     "lang_id_heuristic", "doc_fingerprint",
     "sample_stratified", "pack_token_budget",
+    "lm_perplexity_filter", "tfidf_top_terms", "corpus_shuffle",
 ]
 if os.environ.get("SCALE_SUITE"):  # subset override for re-runs
     SUITE = os.environ["SCALE_SUITE"].split(",")
