@@ -65,6 +65,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # list each round; demote them once a CORRECTNESS_r{N}.json row lands.
 _PRIORITY_FIRST = [
     # new in r5 (no prior driver row can exist):
+    "dup_ngram_fraction",
+    "dsir_importance",
+    "semdedup",
     "lm_perplexity_filter",
     "tfidf_top_terms",
     "corpus_shuffle",

@@ -3122,3 +3122,259 @@ def q_corpus_shuffle(spark, sf_dir):
             .select("doc_id",
                     (F.col("off") + F.row_number().over(w_in))
                     .cast("long").alias("pos")))
+
+
+# ---------------------------------------------------------------------------
+# r5 tail 2 — cross-doc duplicate-n-gram fraction, DSIR importance
+# weighting, SemDeDup semantic dedup
+# ---------------------------------------------------------------------------
+
+_DUPGRAM_BOUND = 0.5  # keep ceiling on the duplicate-gram share
+
+_DUCK_DUPGRAM = f"""
+WITH shingled AS (
+  SELECT doc_id, unnest({_DUCK_SHINGLES}) AS sh FROM documents
+  WHERE len({_DUCK_TOKS}) >= 3
+), dist AS (SELECT DISTINCT doc_id, {_DUCK_SH_HASH} AS h FROM shingled),
+dupg AS (
+  SELECT h, 1 AS isdup FROM dist GROUP BY h HAVING COUNT(*) >= 2
+)
+SELECT doc_id, n_grams, n_dup_grams, dup_frac,
+       CAST(dup_frac <= {_DUPGRAM_BOUND} AS INT) AS keep
+FROM (
+  SELECT d.doc_id, COUNT(*) AS n_grams,
+         CAST(SUM(COALESCE(g.isdup, 0)) AS BIGINT) AS n_dup_grams,
+         ROUND(CAST(SUM(COALESCE(g.isdup, 0)) AS DOUBLE) / COUNT(*), 4)
+           AS dup_frac
+  FROM dist d LEFT JOIN dupg g ON g.h = d.h
+  GROUP BY d.doc_id)
+"""
+
+
+@register("dup_ngram_fraction", _DUCK_DUPGRAM)
+def q_dup_ngram_fraction(spark, sf_dir):
+    """Cross-document duplicate-n-gram share — the Dolma/RedPajama
+    per-document dedup SIGNAL (as opposed to the removal operators):
+    the fraction of a document's distinct word-3-gram shingles that
+    occur in at least one OTHER document (df >= 2 over the distinct
+    per-doc gram sets).  Boilerplate-heavy and templated pages score
+    near 1.0; original prose near 0.  Unlike pairwise dedup this needs
+    no candidate join at all — it is a property of the gram-frequency
+    table.
+
+    Scale shape: reuses _hashed_shingles_df, so everything shuffles
+    8-byte gram hashes, never strings; gram df is one combinable
+    groupBy; the join back is LEFT against the df>=2 subset ONLY —
+    on a real web corpus duplicated grams are the minority, so the
+    build side shrinks by construction (and at 100 TB the df table is
+    further prunable to grams seen in > k docs).  Per-doc scoring is a
+    combinable groupBy.  No windows, no driver state."""
+    grams = _hashed_shingles(spark, sf_dir)
+    dupg = (grams.groupBy("h").agg(F.count("*").alias("c"))
+            .filter(F.col("c") >= 2)
+            .select("h", F.lit(1).alias("isdup")))
+    per = (grams.join(dupg, "h", "left")
+           .groupBy("doc_id")
+           .agg(F.count("*").alias("n_grams"),
+                F.sum(F.coalesce("isdup", F.lit(0))).alias("n_dup_grams")))
+    frac = F.round(F.col("n_dup_grams").cast("double")
+                   / F.col("n_grams"), 4)
+    return (per.withColumn("dup_frac", frac)
+            .select("doc_id", "n_grams", "n_dup_grams", "dup_frac",
+                    (F.col("dup_frac") <= F.lit(_DUPGRAM_BOUND))
+                    .cast("int").alias("keep")))
+
+
+_DSIR_B = 4096  # hashed-feature buckets (the fixed-size DSIR model)
+_DSIR_TGT_SQL = "('src0', 'src1', 'src2', 'src3')"
+_DSIR_TGT = ["src0", "src1", "src2", "src3"]
+
+_DUCK_DSIR = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN source IN {_DSIR_TGT_SQL} THEN 1 ELSE 0 END AS tgt,
+         unnest({_DUCK_TOKS}) AS sh
+  FROM documents
+), hashed AS (
+  SELECT doc_id, tgt, ({_DUCK_SH_HASH}) % {_DSIR_B} AS b FROM toks
+), buckets AS (
+  SELECT b, COUNT(*) AS c_raw, CAST(SUM(tgt) AS BIGINT) AS c_tgt
+  FROM hashed GROUP BY b
+), tot AS (
+  SELECT CAST(SUM(c_raw) AS DOUBLE) AS t_raw,
+         CAST(SUM(c_tgt) AS DOUBLE) AS t_tgt
+  FROM buckets
+), w AS (
+  SELECT b,
+         CAST(ROUND((log2(c_tgt + 1) - log2(t_tgt + {_DSIR_B})
+                     - log2(c_raw + 1) + log2(t_raw + {_DSIR_B}))
+                    * 1000000) AS BIGINT) AS wm
+  FROM buckets, tot
+)
+SELECT doc_id, n_tokens, avg_logratio,
+       CAST(avg_logratio > 0 AS INT) AS keep
+FROM (
+  SELECT h.doc_id, COUNT(*) AS n_tokens,
+         ROUND((CAST(SUM(w.wm) AS DOUBLE) / 1000000.0) / COUNT(*), 4)
+           AS avg_logratio
+  FROM hashed h JOIN w ON w.b = h.b
+  GROUP BY h.doc_id)
+"""
+
+
+@register("dsir_importance", _DUCK_DSIR)
+def q_dsir_importance(spark, sf_dir):
+    """DSIR importance weighting (Xie et al. — Data Selection via
+    Importance Resampling, the hashed-n-gram domain-selection method):
+    score every document by the mean per-token log-likelihood ratio
+    between a TARGET distribution (here: the src0-src3 slice standing
+    in for a high-quality domain) and the RAW corpus, both modeled as
+    add-one-smoothed unigram LMs over {b} hashed feature buckets.
+    Positive avg_logratio = the document looks more like the target
+    than like the average of the corpus; `keep` marks the
+    resampling-eligible set.
+
+    Cross-engine determinism: per-bucket log-ratios are quantized to
+    BIGINT micro-bits BEFORE the per-doc sum (same discipline as
+    lm_perplexity_filter), so aggregation is exact integer arithmetic
+    in any partitioning.
+
+    Scale shape — DSIR's whole point: the model is a FIXED-SIZE table
+    of {b} buckets regardless of corpus size, built by ONE combinable
+    groupBy (c_raw and c_tgt as conditional sums in the same pass),
+    and then BROADCAST back to the token stream — unlike
+    lm_perplexity_filter there is no token-keyed join at all.  Two
+    shuffles total (bucket agg over {b} keys, per-doc agg); the token
+    side is scanned once."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.col("source").isin(*_DSIR_TGT).cast("int").alias("tgt"),
+        F.explode(F.expr(_SPARK_TOKS)).alias("sh"))
+    hashed = toks.select(
+        "doc_id", "tgt",
+        (F.expr(_SPARK_SH_HASH) % _DSIR_B).alias("b"))
+    buckets = hashed.groupBy("b").agg(
+        F.count("*").alias("c_raw"), F.sum("tgt").alias("c_tgt"))
+    tot = buckets.agg(F.sum("c_raw").cast("double").alias("t_raw"),
+                      F.sum("c_tgt").cast("double").alias("t_tgt"))
+    wm = F.round((F.log2(F.col("c_tgt") + 1)
+                  - F.log2(F.col("t_tgt") + _DSIR_B)
+                  - F.log2(F.col("c_raw") + 1)
+                  + F.log2(F.col("t_raw") + _DSIR_B))
+                 * 1000000.0, 0).cast("long")
+    w = (buckets.crossJoin(F.broadcast(tot))
+         .select("b", wm.alias("wm")))
+    per = (hashed.join(F.broadcast(w), "b")
+           .groupBy("doc_id")
+           .agg(F.count("*").alias("n_tokens"), F.sum("wm").alias("s")))
+    avg = F.round((F.col("s").cast("double") / 1000000.0)
+                  / F.col("n_tokens"), 4)
+    return (per.withColumn("avg_logratio", avg)
+            .select("doc_id", "n_tokens", "avg_logratio",
+                    (F.col("avg_logratio") > 0).cast("int").alias("keep")))
+
+q_dsir_importance.__doc__ = q_dsir_importance.__doc__.format(b=_DSIR_B)
+
+
+_SEM_TAU = 0.95  # within-cluster cosine above which docs are semantic dups
+
+_DUCK_SEMDEDUP = f"""
+WITH {_DUCK_PLANTED_EMB},
+{_duck_ivf_ctes(train_limit=_IVF_TRAIN_LIMIT)},
+ccos AS (
+  SELECT a.vec_id, a.cell,
+         ROUND(list_cosine_similarity(m.e, c.ce), 6) AS cc
+  FROM assign a JOIN emb m ON m.vec_id = a.vec_id
+       JOIN cent{_IVF_ITERS} c ON c.cell = a.cell
+), pairs AS (
+  SELECT c1.cell, c1.vec_id AS v1, c2.vec_id AS v2,
+         c1.cc AS cc1, c2.cc AS cc2
+  FROM ccos c1 JOIN ccos c2
+    ON c1.cell = c2.cell AND c1.vec_id < c2.vec_id
+  JOIN emb m1 ON m1.vec_id = c1.vec_id
+  JOIN emb m2 ON m2.vec_id = c2.vec_id
+  WHERE list_cosine_similarity(m1.e, m2.e) >= {_SEM_TAU}
+), decided AS (
+  SELECT cell,
+         CASE WHEN cc1 > cc2 THEN v1 ELSE v2 END AS removed_id,
+         CASE WHEN cc1 > cc2 THEN v2 ELSE v1 END AS keeper
+  FROM pairs
+)
+SELECT removed_id, MIN(keeper) AS keeper_id, MIN(cell) AS cell,
+       COUNT(*) AS n_sem_dups
+FROM decided GROUP BY removed_id
+"""
+
+
+@register("semdedup", _DUCK_SEMDEDUP)
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al.) — semantic deduplication by clustering:
+    k-means cells bound the pairwise search (reusing the deterministic
+    _ivf_fit — the exact clustering the IVF index already maintains),
+    within each cell pairs with cosine >= 0.95 (_SEM_TAU) are semantic
+    duplicates, and per the paper the member FARTHEST from the cell
+    centroid is kept (it preserves diversity) while the closer one is
+    removed; ties break on vec_id.  The corpus carries the planted
+    perturbed copies (_DUCK_PLANTED_EMB) so true semantic dups exist
+    by construction — the natural corpus tops out near cosine 0.51,
+    so every reported pair is a retrieved plant.
+
+    Scale shape — the published SemDeDup design: the quadratic step is
+    confined WITHIN cells, so cost is sum(|cell|^2); at 10^9 docs you
+    raise k so |cell| stays ~10^3 (k = n/1000), keeping per-cell work
+    constant — exactly how the paper runs on LAION-scale data.  The
+    centroid table is a broadcast constant, cosine-to-centroid is a
+    projection, and the pair join shuffles on the cell id only.
+    Documented miss (inherent to the method): a near-dup pair split
+    across a cell boundary is not compared — the embedding-LSH dedup
+    (dedup_embedding_cosine) is the recall-oriented complement."""
+    emb, _off = _planted_embeddings(spark, sf_dir)
+    # bounded-sample fit (the 10^9-vector mode ann_ivf_sampled_topk
+    # established): Lloyd runs on the train_limit lowest-id vectors,
+    # the final assignment covers the full corpus
+    cent, assign = _ivf_fit(emb, train_limit=_IVF_TRAIN_LIMIT)
+    norm = ("sqrt(aggregate(transform(e, x -> x * x), 0D, "
+            "(acc, v) -> acc + v))")
+    # per-vector norm and centroid angle are computed ONCE here, not
+    # inside the per-pair predicate: higher-order array lambdas are
+    # CodegenFallback, so every evaluation avoided in the O(|cell|^2)
+    # join is real CPU (measured 9.1 -> see FLOOR.md)
+    ccos = (assign.join(emb, "vec_id")
+            .join(F.broadcast(cent), "cell")
+            .select("vec_id", "cell",
+                    F.round(F.expr(_COS_E_CE), 6).alias("cc"),
+                    F.expr(norm).alias("ne"), "e")
+            .withColumn("theta", F.acos("cc"))
+            .persist())  # feeds BOTH sides of the pair self-join
+    a = ccos.select(F.col("cell"), F.col("vec_id").alias("v1"),
+                    F.col("cc").alias("cc1"), F.col("ne").alias("n_a"),
+                    F.col("theta").alias("th1"), F.col("e").alias("e_a"))
+    b = ccos.select(F.col("cell").alias("cellb"),
+                    F.col("vec_id").alias("v2"),
+                    F.col("cc").alias("cc2"), F.col("ne").alias("n_b"),
+                    F.col("theta").alias("th2"), F.col("e").alias("e_b"))
+    dotab = ("aggregate(zip_with(e_a, e_b, (x, y) -> x * y), 0D, "
+             "(acc, v) -> acc + v)")
+    # triangle-inequality prune (conservative, result-identical):
+    # theta(a,b) >= |theta(a,c) - theta(b,c)| for the shared centroid
+    # c, so a pair whose centroid angles differ by more than
+    # acos(tau) (+ slack for the 6dp rounding of cc) can never reach
+    # cosine tau — it is discarded on two scalar doubles before the
+    # 64-dim dot product ever runs
+    theta_max = float(__import__("math").acos(_SEM_TAU)) + 1e-3
+    pairs = (a.join(b, (F.col("cell") == F.col("cellb"))
+                    & (F.col("v1") < F.col("v2"))
+                    & (F.abs(F.col("th1") - F.col("th2")) <= theta_max))
+             .filter(F.expr(f"({dotab})")
+                     / (F.col("n_a") * F.col("n_b")) >= _SEM_TAU))
+    removed = F.when(F.col("cc1") > F.col("cc2"), F.col("v1")) \
+        .otherwise(F.col("v2"))
+    keeper = F.when(F.col("cc1") > F.col("cc2"), F.col("v2")) \
+        .otherwise(F.col("v1"))
+    return (pairs.select("cell", removed.alias("removed_id"),
+                         keeper.alias("keeper"))
+            .groupBy("removed_id")
+            .agg(F.min("keeper").alias("keeper_id"),
+                 F.min("cell").alias("cell"),
+                 F.count("*").alias("n_sem_dups")))

@@ -1,0 +1,139 @@
+"""r5 tail-2 curation operators: cross-doc duplicate-n-gram fraction
+(the Dolma-style dedup signal), DSIR hashed-n-gram importance
+weighting, and SemDeDup cluster-bounded semantic dedup — semantics
+against driver-side recomputations, plant recovery, and the plan
+shapes the 100-TB story depends on (fixed-size DSIR model broadcast,
+pairwise work confined within cells)."""
+
+import hashlib
+from collections import Counter
+
+import engine.analytics as A
+from engine.queries import _REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def _md5_60(s: str) -> int:
+    # mirror of _SPARK_SH_HASH / _DUCK_SH_HASH: lower 60 bits of md5
+    return int(hashlib.md5(s.encode()).hexdigest()[17:32], 16)
+
+
+def _tokens(text):
+    return [t for t in text.lower().split(" ") if t]
+
+
+def test_dup_ngram_fraction_semantics(spark):
+    fn, _ = _REGISTRY["dup_ngram_fraction"]
+    rows = {r.doc_id: r for r in fn(spark, SF).collect()}
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    gram_sets = {}
+    for d in docs:
+        toks = _tokens(d.text)
+        if len(toks) < 3:
+            continue
+        gram_sets[d.doc_id] = {
+            _md5_60(" ".join(toks[i:i + 3]))
+            for i in range(len(toks) - 2)}
+    df = Counter(h for gs in gram_sets.values() for h in gs)
+
+    assert set(rows) == set(gram_sets)
+    for doc_id, gs in gram_sets.items():
+        r = rows[doc_id]
+        n_dup = sum(1 for h in gs if df[h] >= 2)
+        assert r.n_grams == len(gs), doc_id
+        assert r.n_dup_grams == n_dup, doc_id
+        # Spark rounds half-up, python half-even: allow one 4dp ulp
+        assert abs(r.dup_frac - n_dup / len(gs)) < 1.01e-4
+        assert r.keep == int(r.dup_frac <= A._DUPGRAM_BOUND)
+    # the gate splits on this corpus (signal is non-degenerate)
+    assert {r.keep for r in rows.values()} == {0, 1}
+
+
+def test_dsir_importance_semantics_and_plan(spark):
+    fn, _ = _REGISTRY["dsir_importance"]
+    out = fn(spark, SF)
+    rows = {r.doc_id: r for r in out.collect()}
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    B = A._DSIR_B
+    raw, tgt = Counter(), Counter()
+    per_doc = {}
+    for d in docs:
+        bs = [_md5_60(t) % B for t in _tokens(d.text)]
+        per_doc[d.doc_id] = bs
+        raw.update(bs)
+        if d.source in A._DSIR_TGT:
+            tgt.update(bs)
+    t_raw, t_tgt = sum(raw.values()), sum(tgt.values())
+
+    import math
+    wm = {b: round((math.log2(tgt[b] + 1) - math.log2(t_tgt + B)
+                    - math.log2(raw[b] + 1) + math.log2(t_raw + B))
+                   * 1e6)
+          for b in raw}
+    assert set(rows) == set(per_doc)
+    for doc_id, bs in per_doc.items():
+        r = rows[doc_id]
+        expect = round((sum(wm[b] for b in bs) / 1e6) / len(bs), 4)
+        assert r.n_tokens == len(bs)
+        assert abs(r.avg_logratio - expect) < 2e-4, doc_id
+        assert r.keep == int(r.avg_logratio > 0)
+    # target docs score higher on average than non-target docs
+    by_src = {d.doc_id: d.source for d in docs}
+    tgt_scores = [r.avg_logratio for r in rows.values()
+                  if by_src[r.doc_id] in A._DSIR_TGT]
+    oth_scores = [r.avg_logratio for r in rows.values()
+                  if by_src[r.doc_id] not in A._DSIR_TGT]
+    assert (sum(tgt_scores) / len(tgt_scores)
+            > sum(oth_scores) / len(oth_scores))
+
+    # scale shape: the fixed-size bucket-weight model reaches the token
+    # stream as a BROADCAST join — no shuffle keyed on the token/bucket
+    # on the corpus side of that join
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_semdedup_recovers_plants(spark):
+    fn, _ = _REGISTRY["semdedup"]
+    out = {r.removed_id: r for r in fn(spark, SF).collect()}
+
+    base = spark.read.parquet(f"{SF}/embeddings.parquet")
+    off = base.agg({"vec_id": "max"}).first()[0] + 1
+    plants = {r.vec_id + off for r in base.collect() if r.vec_id % 10 == 0}
+
+    # every planted near-identical copy forms exactly one removal row,
+    # paired with its original (offset apart); the natural corpus
+    # (max cosine ~0.51) contributes nothing at tau=0.95
+    assert len(out) == len(plants)
+    for rid, r in out.items():
+        assert abs(rid - r.keeper_id) == off, (rid, r)
+        assert r.n_sem_dups == 1
+
+
+def test_semdedup_keeps_farther_from_centroid(spark):
+    """SemDeDup keeps the member with LOWER cosine to the cell
+    centroid (diversity-preserving); verify the removed one of each
+    pair is the closer-to-centroid one, recomputed independently."""
+    from pyspark.sql import functions as F
+
+    emb, off = A._planted_embeddings(spark, SF)
+    cent, assign = A._ivf_fit(emb, train_limit=A._IVF_TRAIN_LIMIT)
+    ccos = {r.vec_id: (r.cell, r.cc) for r in
+            (assign.join(emb, "vec_id")
+             .join(F.broadcast(cent), "cell")
+             .select("vec_id", "cell",
+                     F.round(F.expr(A._COS_E_CE), 6).alias("cc"))
+             .collect())}
+
+    fn, _ = _REGISTRY["semdedup"]
+    for r in fn(spark, SF).collect():
+        cell_r, cc_r = ccos[r.removed_id]
+        cell_k, cc_k = ccos[r.keeper_id]
+        assert cell_r == cell_k == r.cell
+        # removed is strictly closer, or tied with the higher id
+        assert (cc_r > cc_k
+                or (cc_r == cc_k and r.removed_id > r.keeper_id))
