@@ -2539,7 +2539,7 @@ def _ivf_assign(emb, cent):
             .select("vec_id", (-F.col("m.nc")).alias("cell")))
 
 
-def _ivf_fit(emb, train_limit: int = 0):
+def _ivf_fit(emb, train_limit: int = 0, k: int = None):
     """Deterministic spherical k-means (the Spark mirror of
     _duck_ivf_ctes): _IVF_ITERS Lloyd iterations, centroids rounded to
     4 dp each step so both engines agree bit-for-bit despite different
@@ -2568,11 +2568,12 @@ def _ivf_fit(emb, train_limit: int = 0):
     persisted ``emb`` (LRU-evicted; the returned lazy assign still
     reads it)."""
     spark = emb.sparkSession
+    k = _IVF_K if k is None else k
     cent_schema = "cell long, ce array<double>"
     train = (emb.orderBy("vec_id").limit(train_limit) if train_limit
              else emb).persist()
     cent_rows = [(r.cell, list(r.ce)) for r in
-                 train.orderBy("vec_id").limit(_IVF_K)
+                 train.orderBy("vec_id").limit(k)
                  .select(F.col("vec_id").alias("cell"),
                          F.col("e").alias("ce")).collect()]
     for _ in range(_IVF_ITERS):
@@ -3330,10 +3331,25 @@ def q_semdedup(spark, sf_dir):
     across a cell boundary is not compared — the embedding-LSH dedup
     (dedup_embedding_cosine) is the recall-oriented complement."""
     emb, _off = _planted_embeddings(spark, sf_dir)
+    return semdedup_removals(emb)
+
+
+def semdedup_removals(emb, k=None, train_limit=_IVF_TRAIN_LIMIT,
+                      tau=_SEM_TAU):
+    """Library form of q_semdedup over any (vec_id, e) frame, with the
+    knob the paper turns at scale: ``k`` — the query pins k=_IVF_K for
+    oracle determinism, but SemDeDup's contract is k ∝ n (hold
+    |cell| ≈ n/k constant, so the within-cell quadratic never grows);
+    scripts/scale_decade.py measures exactly this.  At extreme n the
+    O(n·k) coarse ASSIGNMENT becomes the next bottleneck — the
+    standard fix is a two-level (hierarchical) quantizer assigning
+    via sqrt(k) super-cells, which drops assignment to O(n·sqrt(k));
+    not needed at the scales measured here and documented rather than
+    built."""
     # bounded-sample fit (the 10^9-vector mode ann_ivf_sampled_topk
     # established): Lloyd runs on the train_limit lowest-id vectors,
     # the final assignment covers the full corpus
-    cent, assign = _ivf_fit(emb, train_limit=_IVF_TRAIN_LIMIT)
+    cent, assign = _ivf_fit(emb, train_limit=train_limit, k=k)
     norm = ("sqrt(aggregate(transform(e, x -> x * x), 0D, "
             "(acc, v) -> acc + v))")
     # per-vector norm and centroid angle are computed ONCE here, not
@@ -3362,12 +3378,12 @@ def q_semdedup(spark, sf_dir):
     # acos(tau) (+ slack for the 6dp rounding of cc) can never reach
     # cosine tau — it is discarded on two scalar doubles before the
     # 64-dim dot product ever runs
-    theta_max = float(__import__("math").acos(_SEM_TAU)) + 1e-3
+    theta_max = float(__import__("math").acos(tau)) + 1e-3
     pairs = (a.join(b, (F.col("cell") == F.col("cellb"))
                     & (F.col("v1") < F.col("v2"))
                     & (F.abs(F.col("th1") - F.col("th2")) <= theta_max))
              .filter(F.expr(f"({dotab})")
-                     / (F.col("n_a") * F.col("n_b")) >= _SEM_TAU))
+                     / (F.col("n_a") * F.col("n_b")) >= tau))
     removed = F.when(F.col("cc1") > F.col("cc2"), F.col("v1")) \
         .otherwise(F.col("v2"))
     keeper = F.when(F.col("cc1") > F.col("cc2"), F.col("v2")) \

@@ -142,7 +142,35 @@ def main() -> None:
         results.append(rec)
         print(json.dumps(rec))
 
-    for sf_name, sf_dir in (("base", base_dir), ("10x", SCALE_DIR)):
+    sections = set(os.environ.get(
+        "SCALE_SECTIONS", "semdedup,jobs,simhash_jobs").split(","))
+
+    # SemDeDup decade (r5 tail): with k FIXED the within-cell pairwise
+    # is quadratic in corpus size (|cell| grows 10x -> ~100x pair
+    # work); the paper's contract is k PROPORTIONAL TO n, which holds
+    # |cell| constant.  Measure both, so the table shows the trap AND
+    # the published fix.  train_limit scales with k (>=10 samples per
+    # centroid keeps the bounded fit non-degenerate).
+    from engine.analytics import (_planted_embeddings, semdedup_removals,
+                                  _IVF_K)
+    for name, d, k in ((("semdedup_k16_base", base_dir, _IVF_K),
+                        ("semdedup_k16_10x", SCALE_DIR, _IVF_K),
+                        ("semdedup_k_prop_n_10x", SCALE_DIR,
+                         _IVF_K * COPIES)) if "semdedup" in sections
+                       else ()):
+        spark.catalog.clearCache()
+        emb, _off = _planted_embeddings(spark, d)
+        t0 = time.time()
+        df = semdedup_removals(emb, k=k, train_limit=max(200, 10 * k))
+        df.write.mode("overwrite").format("noop").save()
+        wall = time.time() - t0
+        rec = {"query": name, "k": k, "wall": round(wall, 2),
+               "rows": df.count()}
+        results.append(rec)
+        print(json.dumps(rec))
+
+    for sf_name, sf_dir in ((("base", base_dir), ("10x", SCALE_DIR))
+                            if "jobs" in sections else ()):
         m = run_cleaning_job(spark, f"{sf_dir}/documents.parquet",
                              f"/tmp/scale10_clean_{sf_name}")
         rec = {"query": f"cleaning_job_{sf_name}", **m}
@@ -150,7 +178,8 @@ def main() -> None:
         print(json.dumps(rec))
 
     # the r5 candidate-generator option: same job, simhash128 sketch
-    for sf_name, sf_dir in (("base", base_dir), ("10x", SCALE_DIR)):
+    for sf_name, sf_dir in ((("base", base_dir), ("10x", SCALE_DIR))
+                            if "simhash_jobs" in sections else ()):
         m = run_cleaning_job(spark, f"{sf_dir}/documents.parquet",
                              f"/tmp/scale10_clean_sim_{sf_name}",
                              sketch="simhash128")
