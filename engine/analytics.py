@@ -3009,7 +3009,13 @@ def q_lm_perplexity_filter(spark, sf_dir):
     single UNK count — and the head of any Zipf vocab broadcasts);
     per-doc scoring is another combinable groupBy.  Two shuffles, no
     windows, no driver state: the LM *is* a DataFrame."""
-    docs = _t(spark, sf_dir, "documents")
+    return lm_scores(_t(spark, sf_dir, "documents"))
+
+
+def lm_scores(docs):
+    """(doc_id, n_tokens, bits_per_token, keep) over any
+    (doc_id, text) frame — q_lm_perplexity_filter's scoring, shared
+    with the cleaning job's ``model_gate="lm"``."""
     toks = docs.select("doc_id", F.explode(F.expr(_SPARK_TOKS)).alias("tok"))
     vocab = toks.groupBy("tok").agg(F.count("*").alias("c"))
     tot = vocab.agg(F.sum("c").alias("t"))  # 1 row → broadcast
@@ -3247,7 +3253,13 @@ def q_dsir_importance(spark, sf_dir):
     lm_perplexity_filter there is no token-keyed join at all.  Two
     shuffles total (bucket agg over {b} keys, per-doc agg); the token
     side is scanned once."""
-    docs = _t(spark, sf_dir, "documents")
+    return dsir_scores(_t(spark, sf_dir, "documents"))
+
+
+def dsir_scores(docs):
+    """(doc_id, n_tokens, avg_logratio, keep) over any
+    (doc_id, text, source) frame — q_dsir_importance's scoring, shared
+    with the cleaning job's ``model_gate="dsir"``."""
     toks = docs.select(
         "doc_id",
         F.col("source").isin(*_DSIR_TGT).cast("int").alias("tgt"),

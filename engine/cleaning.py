@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from engine.analytics import (_C4_STOP_SQL, _LANG_SETS, _PII_EMAIL,
                               _PII_PHONE, _SPARK_TOKS,
                               _connected_components, _hashed_shingles_df,
-                              _minhash_pairs)
+                              _minhash_pairs, dsir_scores, lm_scores)
 
 
 def quality_language_gate(docs: DataFrame) -> DataFrame:
@@ -85,6 +85,37 @@ def gopher_repetition_gate(docs: DataFrame,
                acc -> acc.best) / (size(t) - 1) <= {max_top_bigram}
       END), 1)"""
     return docs.filter(F.expr(checks))
+
+
+def model_quality_gate(docs: DataFrame, model: str) -> DataFrame:
+    """Corpus-model quality gate — the r5 signals as job stages:
+
+    ``model="lm"``: CCNet-style unigram-LM bits/token ceiling
+    (lm_scores) — the LM is trained on the frame being gated.
+    ``model="dsir"``: DSIR target-vs-raw log-likelihood ratio > 0
+    (dsir_scores).
+
+    Unlike the fused projection gates these cost a model pass: lm adds
+    a vocab groupBy + token-keyed join, dsir adds one conditional-sum
+    groupBy + a BROADCAST of its fixed 4096-bucket model (the cheaper
+    of the two at 100 TB).  The keep set joins back LEFT SEMI on
+    doc_id, so gated columns pass through untouched."""
+    if model == "lm":
+        keeps = lm_scores(docs).filter(F.col("keep") == 1)
+    elif model == "dsir":
+        # DSIR proper RESAMPLES by importance weight; as a hard gate
+        # the absolute `ratio > 0` rule degenerates on small/odd
+        # corpora (add-one smoothing can drag every score one side of
+        # zero), so the gate keeps the above-corpus-mean half — the
+        # deterministic thresholded analogue.  One extra 1-row agg,
+        # broadcast back.
+        scores = dsir_scores(docs)
+        mu = scores.agg(F.avg("avg_logratio").alias("mu"))
+        keeps = (scores.crossJoin(F.broadcast(mu))
+                 .filter(F.col("avg_logratio") > F.col("mu")))
+    else:
+        raise ValueError(f"unknown model gate: {model!r}")
+    return docs.join(keeps.select("doc_id"), "doc_id", "left_semi")
 
 
 def exact_dedup(docs: DataFrame) -> DataFrame:
@@ -168,7 +199,8 @@ def pii_scrub_text(docs: DataFrame) -> DataFrame:
 
 def cleaning_stages(docs: DataFrame, neardup_policy: str = "pairwise",
                     gopher_gate: bool = False,
-                    sketch: str = "minhash") -> dict:
+                    sketch: str = "minhash",
+                    model_gate: str = None) -> dict:
     """The job's stage DataFrames, each boundary PERSISTED.
 
     Every stage output is referenced more than once downstream (exact
@@ -184,6 +216,8 @@ def cleaning_stages(docs: DataFrame, neardup_policy: str = "pairwise",
     gated = quality_language_gate(docs)
     if gopher_gate:
         gated = gopher_repetition_gate(gated)
+    if model_gate:
+        gated = model_quality_gate(gated, model_gate)
     gated = gated.persist()
     exact = exact_dedup(gated).persist()
     survivors = neardup_removal(exact, policy=neardup_policy,
@@ -197,7 +231,8 @@ def run_cleaning_job(spark: SparkSession, input_path: str,
                      output_path: str,
                      neardup_policy: str = "pairwise",
                      gopher_gate: bool = False,
-                     sketch: str = "minhash") -> dict:
+                     sketch: str = "minhash",
+                     model_gate: str = None) -> dict:
     """documents parquet in → cleaned corpus parquet out, one JSON-able
     metrics dict back (per-stage survivor counts reconcile the run the
     way the extraction pipeline's lineage rows do).
@@ -213,7 +248,8 @@ def run_cleaning_job(spark: SparkSession, input_path: str,
     t0 = time.time()
     docs = spark.read.parquet(input_path)
     stages = cleaning_stages(docs, neardup_policy=neardup_policy,
-                             gopher_gate=gopher_gate, sketch=sketch)
+                             gopher_gate=gopher_gate, sketch=sketch,
+                             model_gate=model_gate)
     obs = Observation()
     cleaned = stages["cleaned"].observe(
         obs, F.count(F.lit(1)).alias("rows_out"),

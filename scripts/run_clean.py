@@ -27,6 +27,10 @@ def main() -> None:
     p.add_argument("--gopher-gate", action="store_true",
                    help="also drop repeated-boilerplate docs "
                         "(Gopher dup-3gram / top-bigram thresholds)")
+    p.add_argument("--model-gate", default=None,
+                   choices=("lm", "dsir"),
+                   help="corpus-model quality gate (CCNet-style LM "
+                        "bits/token, or DSIR importance ratio)")
     p.add_argument("--sketch", default="minhash",
                    choices=["minhash", "simhash128"],
                    help="near-dup candidate generator: minhash "
@@ -43,7 +47,8 @@ def main() -> None:
     metrics = run_cleaning_job(spark, args.input, args.output,
                                neardup_policy=args.neardup_policy,
                                gopher_gate=args.gopher_gate,
-                               sketch=args.sketch)
+                               sketch=args.sketch,
+                               model_gate=args.model_gate)
     print(json.dumps(metrics))
 
 

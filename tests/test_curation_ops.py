@@ -137,3 +137,53 @@ def test_semdedup_keeps_farther_from_centroid(spark):
         # removed is strictly closer, or tied with the higher id
         assert (cc_r > cc_k
                 or (cc_r == cc_k and r.removed_id > r.keeper_id))
+
+
+def test_model_quality_gate_matches_query_keeps(spark):
+    """model_quality_gate over a frame == the driver query's keep=1
+    set when both train on the same frame."""
+    from engine.cleaning import model_quality_gate
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+
+    gated_ids = {r.doc_id for r in
+                 model_quality_gate(docs, "lm").select("doc_id").collect()}
+    keep_ids = {r.doc_id for r in
+                A.lm_scores(docs).filter("keep = 1")
+                .select("doc_id").collect()}
+    assert gated_ids == keep_ids
+    assert 0 < len(gated_ids) < docs.count()
+
+    # dsir gate keeps the above-corpus-mean half (see model_quality_gate)
+    scores = {r.doc_id: r.avg_logratio
+              for r in A.dsir_scores(docs).collect()}
+    mu = sum(scores.values()) / len(scores)
+    expect = {d for d, v in scores.items() if v > mu}
+    gated_ids = {r.doc_id for r in
+                 model_quality_gate(docs, "dsir")
+                 .select("doc_id").collect()}
+    assert gated_ids == expect
+    assert 0 < len(gated_ids) < docs.count()
+    # unknown model fails loudly
+    import pytest
+    with pytest.raises(ValueError):
+        model_quality_gate(docs, "nope")
+
+
+def test_cleaning_job_with_model_gate(spark, tmp_path):
+    """The end-to-end job accepts model_gate and the funnel stays
+    monotone; the model gate strictly tightens the quality stage
+    versus the plain run (on this corpus both models reject docs that
+    pass the C4/language gates)."""
+    from engine.cleaning import run_cleaning_job
+
+    base = run_cleaning_job(spark, f"{SF}/documents.parquet",
+                            str(tmp_path / "plain"))
+    for model in ("lm", "dsir"):
+        m = run_cleaning_job(spark, f"{SF}/documents.parquet",
+                             str(tmp_path / model), model_gate=model)
+        assert (m["rows_in"] >= m["after_quality_language"]
+                >= m["after_exact_dedup"] >= m["after_neardup_removal"]
+                == m["rows_out"] > 0), model
+        assert (m["after_quality_language"]
+                < base["after_quality_language"]), model
