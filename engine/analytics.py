@@ -3358,51 +3358,84 @@ def semdedup_removals(emb, k=None, train_limit=_IVF_TRAIN_LIMIT,
     via sqrt(k) super-cells, which drops assignment to O(n·sqrt(k));
     not needed at the scales measured here and documented rather than
     built."""
-    # bounded-sample fit (the 10^9-vector mode ann_ivf_sampled_topk
-    # established): Lloyd runs on the train_limit lowest-id vectors,
-    # the final assignment covers the full corpus
+    decided = semdedup_pairs(emb, k=k, train_limit=train_limit, tau=tau)
+    return (decided
+            .groupBy("removed_id")
+            .agg(F.min("keeper_id").alias("keeper_id"),
+                 F.min("cell").alias("cell"),
+                 F.count("*").alias("n_sem_dups")))
+
+
+def semdedup_pairs(emb, k=None, train_limit=_IVF_TRAIN_LIMIT,
+                   tau=_SEM_TAU):
+    """Decided (removed_id, keeper_id, cell) pairs of semdedup_removals
+    BEFORE the per-removed grouping — the unit the streaming form
+    (engine/streaming.stream_semdedup) emits per batch, so
+    union-of-batches == this frame is the lossless-decomposition
+    contract (mirroring _stream_neardup_pairs)."""
     cent, assign = _ivf_fit(emb, train_limit=train_limit, k=k)
+    scored = _sem_score(emb, cent, assign).persist()
+    return _sem_decide(_sem_candidate_pairs(scored, scored, tau,
+                                            ordered=True))
+
+
+def _sem_score(emb, cent, assign):
+    """(vec_id, cell, cc, ne, theta, e) member table: norm and
+    centroid angle are computed ONCE here, not inside the per-pair
+    predicate — higher-order array lambdas are CodegenFallback, so
+    every evaluation avoided in the O(|cell|^2) join is real CPU
+    (measured 9.1 -> 4.2 s, FLOOR.md)."""
     norm = ("sqrt(aggregate(transform(e, x -> x * x), 0D, "
             "(acc, v) -> acc + v))")
-    # per-vector norm and centroid angle are computed ONCE here, not
-    # inside the per-pair predicate: higher-order array lambdas are
-    # CodegenFallback, so every evaluation avoided in the O(|cell|^2)
-    # join is real CPU (measured 9.1 -> see FLOOR.md)
-    ccos = (assign.join(emb, "vec_id")
+    return (assign.join(emb, "vec_id")
             .join(F.broadcast(cent), "cell")
             .select("vec_id", "cell",
                     F.round(F.expr(_COS_E_CE), 6).alias("cc"),
                     F.expr(norm).alias("ne"), "e")
-            .withColumn("theta", F.acos("cc"))
-            .persist())  # feeds BOTH sides of the pair self-join
-    a = ccos.select(F.col("cell"), F.col("vec_id").alias("v1"),
-                    F.col("cc").alias("cc1"), F.col("ne").alias("n_a"),
-                    F.col("theta").alias("th1"), F.col("e").alias("e_a"))
-    b = ccos.select(F.col("cell").alias("cellb"),
-                    F.col("vec_id").alias("v2"),
-                    F.col("cc").alias("cc2"), F.col("ne").alias("n_b"),
-                    F.col("theta").alias("th2"), F.col("e").alias("e_b"))
+            .withColumn("theta", F.acos("cc")))
+
+
+def _sem_candidate_pairs(scored_a, scored_b, tau, ordered: bool):
+    """Same-cell pairs of two _sem_score frames with cosine >= tau.
+    ``ordered=True`` keeps v1 < v2 (self-join dedup); ``ordered=False``
+    is the one-sided arriving×seen form (disjoint id sets — the
+    streaming join, where the seen side carries any ids).
+
+    Triangle-inequality prune (conservative, result-identical):
+    theta(a,b) >= |theta(a,c) - theta(b,c)| for the shared centroid c,
+    so a pair whose centroid angles differ by more than acos(tau)
+    (+ slack for the 6dp rounding of cc) can never reach cosine tau —
+    discarded on two scalar doubles before the 64-dim dot runs."""
+    a = scored_a.select(F.col("cell"), F.col("vec_id").alias("v1"),
+                        F.col("cc").alias("cc1"), F.col("ne").alias("n_a"),
+                        F.col("theta").alias("th1"),
+                        F.col("e").alias("e_a"))
+    b = scored_b.select(F.col("cell").alias("cellb"),
+                        F.col("vec_id").alias("v2"),
+                        F.col("cc").alias("cc2"), F.col("ne").alias("n_b"),
+                        F.col("theta").alias("th2"),
+                        F.col("e").alias("e_b"))
     dotab = ("aggregate(zip_with(e_a, e_b, (x, y) -> x * y), 0D, "
              "(acc, v) -> acc + v)")
-    # triangle-inequality prune (conservative, result-identical):
-    # theta(a,b) >= |theta(a,c) - theta(b,c)| for the shared centroid
-    # c, so a pair whose centroid angles differ by more than
-    # acos(tau) (+ slack for the 6dp rounding of cc) can never reach
-    # cosine tau — it is discarded on two scalar doubles before the
-    # 64-dim dot product ever runs
     theta_max = float(__import__("math").acos(tau)) + 1e-3
-    pairs = (a.join(b, (F.col("cell") == F.col("cellb"))
-                    & (F.col("v1") < F.col("v2"))
-                    & (F.abs(F.col("th1") - F.col("th2")) <= theta_max))
-             .filter(F.expr(f"({dotab})")
-                     / (F.col("n_a") * F.col("n_b")) >= tau))
-    removed = F.when(F.col("cc1") > F.col("cc2"), F.col("v1")) \
-        .otherwise(F.col("v2"))
-    keeper = F.when(F.col("cc1") > F.col("cc2"), F.col("v2")) \
-        .otherwise(F.col("v1"))
-    return (pairs.select("cell", removed.alias("removed_id"),
-                         keeper.alias("keeper"))
-            .groupBy("removed_id")
-            .agg(F.min("keeper").alias("keeper_id"),
-                 F.min("cell").alias("cell"),
-                 F.count("*").alias("n_sem_dups")))
+    cond = ((F.col("cell") == F.col("cellb"))
+            & (F.abs(F.col("th1") - F.col("th2")) <= theta_max))
+    cond = cond & ((F.col("v1") < F.col("v2")) if ordered
+                   else (F.col("v1") != F.col("v2")))
+    return (a.join(b, cond)
+            .filter(F.expr(f"({dotab})")
+                    / (F.col("n_a") * F.col("n_b")) >= tau))
+
+
+def _sem_decide(pairs):
+    """SemDeDup's keep rule over candidate pairs: remove the member
+    CLOSER to the cell centroid (higher cc — the less diverse one);
+    ties remove the higher vec_id.  Symmetric in (v1, v2), so pair
+    orientation does not matter."""
+    tie = (F.col("cc1") == F.col("cc2"))
+    rm_v1 = (F.col("cc1") > F.col("cc2")) | (tie & (F.col("v1") >
+                                                    F.col("v2")))
+    removed = F.when(rm_v1, F.col("v1")).otherwise(F.col("v2"))
+    keeper = F.when(rm_v1, F.col("v2")).otherwise(F.col("v1"))
+    return pairs.select(removed.alias("removed_id"),
+                        keeper.alias("keeper_id"), "cell")

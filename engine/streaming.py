@@ -577,3 +577,107 @@ def _neardup_one_batch(spark: SparkSession, batch_df, batch_id,
         .parquet(f"{index_dir}/bands/batch={batch_id}")
     for df in (batch_docs, dist_arr, bands_arr):
         df.unpersist()
+
+
+def stream_semdedup(spark: SparkSession, input_path: str,
+                    ann_index_path: str, work_dir: str,
+                    checkpoint_path: str, available_now: bool = True,
+                    plan_probe: list | None = None):
+    """Streaming SemDeDup — the streaming member of the semantic-dedup
+    family (batch: engine/analytics.q_semdedup / semdedup_pairs):
+    each micro-batch of embeddings is assigned under the serving
+    index's FROZEN coarse quantizer (engine/index.write_ann_index —
+    the same frozen-quantizer discipline as append_to_ann_index),
+    scored against its cell centroid, and pair-checked at cosine >=
+    _SEM_TAU against (a) the index members of exactly the TOUCHED
+    cells — a partition-pruned read, never the whole index — (b)
+    earlier stream batches' members in those cells, and (c) itself.
+
+    Decisions are emitted as (removed_id, keeper_id, cell) PAIR rows
+    per batch (the _stream_neardup_pairs contract): the kept set is an
+    anti-join downstream, so a decision that removes an already-
+    indexed member (the arriving vector was farther from the centroid
+    — SemDeDup keeps diversity, and the index side is not
+    automatically the keeper) is an ordinary output row applied at
+    compaction, not a mutation of the index.
+
+    Lossless decomposition (tested): semdedup_pairs over (index corpus
+    ∪ all batches) with the same quantizer == semdedup_pairs(index
+    corpus) ∪ union-of-batch pair outputs — cross pairs are found when
+    the later member arrives, one-sided (arriving × seen is never
+    re-joined as seen × seen).  Exactly-once on replay: members and
+    pairs live under ``batch=<id>`` partitions, per-batch overwrites,
+    and every members read EXCLUDES the current batch's own partition
+    (_stream_index_tail) — the r4-ADVICE replay discipline.
+
+    Input schema: ``vec_id LONG, embedding ARRAY<FLOAT>``."""
+    stream = (spark.readStream
+              .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(input_path))
+
+    def _process(batch_df, batch_id):
+        _semdedup_one_batch(spark, batch_df, batch_id, ann_index_path,
+                            work_dir, plan_probe=plan_probe)
+
+    writer = (stream.writeStream.foreachBatch(_process)
+              .option("checkpointLocation", checkpoint_path))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+_SEM_MEMBER_COLS = ["vec_id", "cell", "cc", "ne", "theta", "e"]
+
+
+def _semdedup_one_batch(spark: SparkSession, batch_df, batch_id,
+                        ann_index_path: str, work_dir: str,
+                        plan_probe: list | None = None) -> None:
+    """One stream_semdedup micro-batch — module-level so the replay
+    test can re-invoke it with the same batch_id."""
+    from engine.analytics import (_SEM_TAU, _ivf_assign,
+                                  _sem_candidate_pairs, _sem_decide,
+                                  _sem_score)
+
+    # frozen coarse quantizer: k×dims, driver-sized, re-embedded as a
+    # literal frame so assignment is a broadcast + partial-agg argmax
+    cent_rows = [(r.cell, list(r.ce)) for r in
+                 spark.read.parquet(f"{ann_index_path}/centroids")
+                 .collect()]
+    cent = spark.createDataFrame(cent_rows, "cell long, ce array<double>")
+
+    arr = batch_df.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x AS double))").alias("e"))
+    scored_arr = _sem_score(arr, cent, _ivf_assign(arr, cent)).persist()
+    cells = [r.cell for r in
+             scored_arr.select("cell").distinct().collect()]
+
+    # index members of the touched cells only — the members table is
+    # partitioned by cell (write_ann_index), so this is partition
+    # pruning, same as a probe
+    idx = (spark.read.parquet(f"{ann_index_path}/members")
+           .filter(F.col("cell").isin(cells)))
+    # the members table already carries its cell (the partition
+    # column IS the frozen-quantizer assignment) — re-assigning would
+    # redo members×k cosines every batch for identical answers
+    scored_idx = _sem_score(idx.select("vec_id", "e"), cent,
+                            idx.select("vec_id", "cell"))
+    if plan_probe is not None:
+        plan_probe.append(
+            idx._jdf.queryExecution().executedPlan().toString())
+    tail = _stream_index_tail(spark, f"{work_dir}/members",
+                              _SEM_MEMBER_COLS, batch_id, folded=[])
+    seen = scored_idx if tail is None else \
+        scored_idx.unionByName(tail.filter(F.col("cell").isin(cells)))
+
+    decided = _sem_decide(
+        _sem_candidate_pairs(scored_arr, seen, _SEM_TAU, ordered=False)
+        .unionByName(
+            _sem_candidate_pairs(scored_arr, scored_arr, _SEM_TAU,
+                                 ordered=True)))
+    decided.write.mode("overwrite") \
+        .parquet(f"{work_dir}/pairs/batch={batch_id}")
+    scored_arr.select(*_SEM_MEMBER_COLS).write.mode("overwrite") \
+        .parquet(f"{work_dir}/members/batch={batch_id}")
+    scored_arr.unpersist()

@@ -1,0 +1,105 @@
+"""Streaming SemDeDup: arriving embedding batches are semantically
+deduped against the frozen-quantizer serving index.  Pins (1) the
+lossless decomposition — batch semdedup_pairs over the full corpus ==
+pairs within the indexed half ∪ union of streamed per-batch pairs,
+(2) partition-pruned index reads (only touched cells), (3) replay
+idempotence (re-invoking a batch id rewrites identical pairs — the
+r4-ADVICE discipline), and (4) a re-drain no-ops."""
+
+from pyspark.sql import functions as F
+
+import engine.analytics as A
+from engine.index import write_ann_index
+from engine.streaming import _semdedup_one_batch, stream_semdedup
+
+SF = "/root/testdata/sf0.001"
+
+
+def _halves(spark):
+    """Planted corpus split by id: naturals (the indexed corpus) and
+    plants (the arriving stream) — every plant's original is indexed,
+    so every true pair is a cross pair the stream must catch."""
+    emb, off = A._planted_embeddings(spark, SF)
+    return (emb.filter(F.col("vec_id") < off),
+            emb.filter(F.col("vec_id") >= off), off)
+
+
+def _decided(spark, pairs_dir):
+    return {(r.removed_id, r.keeper_id, r.cell)
+            for r in spark.read.parquet(pairs_dir).collect()}
+
+
+def _write_half(df, path):
+    df.select("vec_id",
+              F.expr("transform(e, x -> cast(x AS float))")
+              .alias("embedding")).coalesce(1) \
+        .write.mode("append").parquet(path)
+
+
+def test_stream_semdedup_lossless_and_pruned(spark, tmp_path):
+    naturals, plants, off = _halves(spark)
+    idx = str(tmp_path / "ann")
+    inp = str(tmp_path / "in")
+    work = str(tmp_path / "work")
+    cp = str(tmp_path / "cp")
+
+    # serving index over the naturals; the quantizer (train_limit
+    # lowest ids) is identical to the batch fit over the full corpus,
+    # since plants sit strictly above the natural id space
+    write_ann_index(naturals, idx, train_limit=A._IVF_TRAIN_LIMIT)
+
+    # stream the plants in two batches
+    plist = sorted(r.vec_id for r in plants.select("vec_id").collect())
+    cut = plist[len(plist) // 2]
+    _write_half(plants.filter(F.col("vec_id") <= cut), inp)
+    probes = []
+    q = stream_semdedup(spark, inp, idx, work, cp, plan_probe=probes)
+    q.awaitTermination(120)
+    _write_half(plants.filter(F.col("vec_id") > cut), inp)
+    q = stream_semdedup(spark, inp, idx, work, cp, plan_probe=probes)
+    q.awaitTermination(120)
+
+    streamed = _decided(spark, f"{work}/pairs")
+
+    full = {(r.removed_id, r.keeper_id, r.cell) for r in
+            A.semdedup_pairs(
+                naturals.unionByName(plants)).collect()}
+    within_idx = {(r.removed_id, r.keeper_id, r.cell) for r in
+                  A.semdedup_pairs(naturals).collect()}
+    assert within_idx | streamed == full
+    assert within_idx.isdisjoint(streamed)
+    # every plant produced a decision (batch recovery is 50/50 here)
+    assert len(streamed) == plants.count()
+
+    # index reads are partition-pruned to the touched cells
+    assert probes and all("PartitionFilters: [" in p and "cell#" in p
+                          for p in probes)
+
+    # a re-drain with nothing new no-ops (checkpoint-tracked)
+    q = stream_semdedup(spark, inp, idx, work, cp)
+    q.awaitTermination(120)
+    assert _decided(spark, f"{work}/pairs") == streamed
+
+
+def test_stream_semdedup_replay_is_byte_identical(spark, tmp_path):
+    """Crash window: the batch wrote its members partition but the
+    checkpoint did not commit.  The replayed batch must NOT see its
+    own members (it would pair plants against themselves); re-invoking
+    the per-batch function with the same batch_id must rewrite the
+    identical pair set."""
+    naturals, plants, off = _halves(spark)
+    idx = str(tmp_path / "ann")
+    work = str(tmp_path / "work")
+    write_ann_index(naturals, idx, train_limit=A._IVF_TRAIN_LIMIT)
+
+    batch = plants.select(
+        "vec_id",
+        F.expr("transform(e, x -> cast(x AS float))").alias("embedding"))
+    _semdedup_one_batch(spark, batch, 0, idx, work)
+    first = _decided(spark, f"{work}/pairs")
+
+    # simulate the replay: members/batch=0 already exists on disk
+    _semdedup_one_batch(spark, batch, 0, idx, work)
+    assert _decided(spark, f"{work}/pairs") == first
+    for rid, kid, _cell in first:
+        assert abs(rid - kid) == off  # every pair is plant×original
