@@ -132,7 +132,7 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         "neardup_pairs_simhash128", "sample_stratified",
         "pack_token_budget", "lm_perplexity_filter", "tfidf_top_terms",
         "corpus_shuffle", "dup_ngram_fraction", "dsir_importance",
-        "semdedup",
+        "semdedup", "top_ngrams", "corpus_stats",
         "sessionize", "group_winner_rank", "turn_order_window",
         "quality_score", "token_count", "pii_scrub", "cleaning_pass",
         "boilerplate_strip", "pdf_extract"]

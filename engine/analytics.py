@@ -3439,3 +3439,92 @@ def _sem_decide(pairs):
     keeper = F.when(rm_v1, F.col("v2")).otherwise(F.col("v1"))
     return pairs.select(removed.alias("removed_id"),
                         keeper.alias("keeper_id"), "cell")
+
+
+_TOP_NGRAMS_K = 20
+
+_DUCK_TOP_NGRAMS = f"""
+WITH shingled AS (
+  SELECT doc_id, unnest({_DUCK_SHINGLES}) AS sh FROM documents
+  WHERE len({_DUCK_TOKS}) >= 3
+), hashed AS (
+  SELECT DISTINCT doc_id, sh, {_DUCK_SH_HASH} AS h FROM shingled
+), counts AS (
+  SELECT h, COUNT(*) AS n_docs
+  FROM (SELECT DISTINCT doc_id, h FROM hashed) GROUP BY h
+), top AS (
+  SELECT h, n_docs FROM counts ORDER BY n_docs DESC, h
+  LIMIT {_TOP_NGRAMS_K}
+)
+SELECT t.h, MIN(d.sh) AS gram, t.n_docs
+FROM top t JOIN hashed d ON d.h = t.h
+GROUP BY t.h, t.n_docs
+"""
+
+
+@register("top_ngrams", _DUCK_TOP_NGRAMS)
+def q_top_ngrams(spark, sf_dir):
+    """Corpus-wide top-{k} word-3-grams by document frequency — the
+    boilerplate-discovery report (the grams dup_ngram_fraction charges
+    documents for; ties break on the hash, shared by both engines).
+
+    Scale shape — the classic TWO-PASS top-k: pass 1 aggregates and
+    ranks 8-byte gram HASHES only (combinable groupBy, then
+    TakeOrderedAndProject — per-partition top-k merged on the driver,
+    k·P rows, no global sort and no strings in the shuffle); pass 2
+    recovers the winning grams' STRINGS by re-scanning the shingle
+    stream against the BROADCAST winner set (k rows).  Shuffling the
+    strings to rank them — the one-pass shape — is exactly what the
+    minhash family's r2 regression showed doesn't scale."""
+    docs = _t(spark, sf_dir, "documents") \
+        .repartition(spark.sparkContext.defaultParallelism)
+    toks = docs.select("doc_id", F.expr(_SPARK_TOKS).alias("toks"))
+    shingle_expr = (
+        "CASE WHEN size(toks) >= 3 THEN "
+        "transform(sequence(1, size(toks) - 2), "
+        "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), "
+        "' ', element_at(toks, i + 2))) ELSE array() END")
+    shingled = toks.select(
+        "doc_id", F.explode(F.expr(shingle_expr)).alias("sh"))
+    ints = (shingled.select("doc_id", F.expr(_SPARK_SH_HASH).alias("h"))
+            .distinct())
+    top = (ints.groupBy("h").agg(F.count("*").alias("n_docs"))
+           .orderBy(F.col("n_docs").desc(), "h").limit(_TOP_NGRAMS_K))
+    strs = shingled.select("sh", F.expr(_SPARK_SH_HASH).alias("h"))
+    return (strs.join(F.broadcast(top), "h")
+            .groupBy("h", "n_docs").agg(F.min("sh").alias("gram"))
+            .select("h", "gram", "n_docs"))
+
+q_top_ngrams.__doc__ = q_top_ngrams.__doc__.format(k=_TOP_NGRAMS_K)
+
+
+_DUCK_CORPUS_STATS = f"""
+SELECT COUNT(*) AS n_docs,
+       CAST(SUM(len({_DUCK_TOKS})) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(len({_DUCK_TOKS})) AS DOUBLE) / COUNT(*), 4)
+         AS avg_tokens,
+       COUNT(DISTINCT source) AS n_sources,
+       ROUND(CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 4) AS en_frac
+FROM documents
+"""
+
+
+@register("corpus_stats", _DUCK_CORPUS_STATS)
+def q_corpus_stats(spark, sf_dir):
+    """One-row corpus profile (docs, tokens, mean length, source
+    count, English share) — the first query any curation run issues.
+    All combinable aggregates over one scan (the distinct-source count
+    is Spark's two-phase distinct agg over a low-cardinality column);
+    divisions cast to DOUBLE so both engines stay in float, not
+    DECIMAL (the r5 hash-mismatch trap)."""
+    docs = _t(spark, sf_dir, "documents")
+    ntok = F.expr(f"size({_SPARK_TOKS})")
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(ntok).alias("n_tokens"),
+        F.round(F.sum(ntok).cast("double") / F.count("*"), 4)
+         .alias("avg_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+        F.round(F.sum((F.col("lang") == "en").cast("int")).cast("double")
+                / F.count("*"), 4).alias("en_frac"))

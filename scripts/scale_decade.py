@@ -51,7 +51,8 @@ SUITE = [
     "lang_id_heuristic", "doc_fingerprint",
     "sample_stratified", "pack_token_budget",
     "lm_perplexity_filter", "tfidf_top_terms", "corpus_shuffle",
-    "dup_ngram_fraction", "dsir_importance",
+    "dup_ngram_fraction", "dsir_importance", "top_ngrams",
+    "corpus_stats",
 ]
 if os.environ.get("SCALE_SUITE"):  # subset override for re-runs
     SUITE = os.environ["SCALE_SUITE"].split(",")

@@ -187,3 +187,47 @@ def test_cleaning_job_with_model_gate(spark, tmp_path):
                 == m["rows_out"] > 0), model
         assert (m["after_quality_language"]
                 < base["after_quality_language"]), model
+
+
+def test_top_ngrams_two_pass_shape_and_counts(spark):
+    fn, _ = _REGISTRY["top_ngrams"]
+    out = fn(spark, SF)
+    rows = out.collect()
+    assert len(rows) == A._TOP_NGRAMS_K
+
+    # ground truth df-counts from python
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    df = Counter()
+    grams = {}
+    for d in docs:
+        toks = _tokens(d.text)
+        gs = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)} \
+            if len(toks) >= 3 else set()
+        for g in gs:
+            h = _md5_60(g)
+            df[h] += 1
+            grams[h] = g
+    floor = sorted(df.values(), reverse=True)[A._TOP_NGRAMS_K - 1]
+    for r in rows:
+        assert r.n_docs == df[r.h]
+        assert r.gram == grams[r.h]
+        assert r.n_docs >= floor
+
+    # scale shape: ranking is per-partition top-k merged on the driver
+    # (TakeOrderedAndProject), never a global sort exchange
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_corpus_stats_values(spark):
+    fn, _ = _REGISTRY["corpus_stats"]
+    r = fn(spark, SF).collect()[0]
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    ntoks = [len(_tokens(d.text)) for d in docs]
+    assert r.n_docs == len(docs)
+    assert r.n_tokens == sum(ntoks)
+    assert abs(r.avg_tokens - sum(ntoks) / len(docs)) < 1.01e-4
+    assert r.n_sources == len({d.source for d in docs})
+    en = sum(1 for d in docs if d.lang == "en")
+    assert abs(r.en_frac - en / len(docs)) < 1.01e-4
