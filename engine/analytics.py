@@ -3528,3 +3528,83 @@ def q_corpus_stats(spark, sf_dir):
         F.countDistinct("source").alias("n_sources"),
         F.round(F.sum((F.col("lang") == "en").cast("int")).cast("double")
                 / F.count("*"), 4).alias("en_frac"))
+
+
+_DUCK_SOURCE_OVERLAP = f"""
+WITH pairs AS ({_DUCK_MINHASH}),
+lab AS (
+  SELECT p.jaccard, da.source AS sa, db.source AS sb
+  FROM pairs p JOIN documents da ON da.doc_id = p.doc_a
+               JOIN documents db ON db.doc_id = p.doc_b
+)
+SELECT LEAST(sa, sb) AS source_a, GREATEST(sa, sb) AS source_b,
+       COUNT(*) AS n_pairs, MAX(jaccard) AS max_jaccard
+FROM lab GROUP BY LEAST(sa, sb), GREATEST(sa, sb)
+"""
+
+
+@register("source_overlap_matrix", _DUCK_SOURCE_OVERLAP)
+def q_source_overlap_matrix(spark, sf_dir):
+    """WHICH sources copy from which: the near-dup pairs
+    (dedup_minhash_lsh's, unchanged) labeled with both members'
+    sources and rolled up into an unordered source×source matrix —
+    the provenance report a curation run uses to decide which feed to
+    keep when two mirrors re-crawl each other.  max_jaccard (an
+    order-independent agg over already-4dp-rounded values) summarizes
+    pair strength; an avg would hash-flip on float summation order.
+
+    Scale shape: everything heavy is the existing pair pipeline; the
+    source labels attach via two joins ON the (small) pair set against
+    the (doc_id, source) projection, and the matrix groupBy has at
+    most |sources|² keys."""
+    pairs = _minhash_pairs(_hashed_shingles(spark, sf_dir))
+    src = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    lab = (pairs
+           .join(src.select(F.col("doc_id").alias("doc_a"),
+                            F.col("source").alias("sa")), "doc_a")
+           .join(src.select(F.col("doc_id").alias("doc_b"),
+                            F.col("source").alias("sb")), "doc_b"))
+    return (lab.groupBy(F.least("sa", "sb").alias("source_a"),
+                        F.greatest("sa", "sb").alias("source_b"))
+            .agg(F.count("*").alias("n_pairs"),
+                 F.max("jaccard").alias("max_jaccard")))
+
+
+_DUCK_MIXTURE = f"""
+WITH per AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len({_DUCK_TOKS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(SUM(n_tokens) AS DOUBLE) AS t, COUNT(*) AS s FROM per
+)
+SELECT source, n_docs, n_tokens,
+       ROUND(LEAST(1.0, (t / s) / n_tokens), 4) AS weight
+FROM per, tot
+"""
+
+
+@register("mixture_weights", _DUCK_MIXTURE)
+def q_mixture_weights(spark, sf_dir):
+    """Per-source sampling weights that equalize token mass across
+    sources (the mixture-table step of assembling a training corpus —
+    The-Pile-style capping: a source above its uniform share
+    T/|sources| is downsampled to it, a source below keeps weight
+    1.0).  The closed-form per-source rate plugs directly into
+    sample_stratified's keep predicate, making the mixture a pure
+    projection-filter downstream.
+
+    Scale shape: one combinable groupBy over |sources| keys + a 1-row
+    broadcast total; the weight math is scalar double arithmetic
+    written identically in both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    ntok = F.expr(f"size({_SPARK_TOKS})")
+    per = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum(ntok).alias("n_tokens"))
+    tot = per.agg(F.sum("n_tokens").cast("double").alias("t"),
+                  F.count("*").alias("s"))
+    w = F.round(F.least(F.lit(1.0),
+                        (F.col("t") / F.col("s")) / F.col("n_tokens")),
+                4)
+    return (per.crossJoin(F.broadcast(tot))
+            .select("source", "n_docs", "n_tokens", w.alias("weight")))

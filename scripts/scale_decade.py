@@ -52,7 +52,7 @@ SUITE = [
     "sample_stratified", "pack_token_budget",
     "lm_perplexity_filter", "tfidf_top_terms", "corpus_shuffle",
     "dup_ngram_fraction", "dsir_importance", "top_ngrams",
-    "corpus_stats",
+    "corpus_stats", "source_overlap_matrix", "mixture_weights",
 ]
 if os.environ.get("SCALE_SUITE"):  # subset override for re-runs
     SUITE = os.environ["SCALE_SUITE"].split(",")

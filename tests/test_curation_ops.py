@@ -231,3 +231,42 @@ def test_corpus_stats_values(spark):
     assert r.n_sources == len({d.source for d in docs})
     en = sum(1 for d in docs if d.lang == "en")
     assert abs(r.en_frac - en / len(docs)) < 1.01e-4
+
+
+def test_mixture_weights_semantics(spark):
+    fn, _ = _REGISTRY["mixture_weights"]
+    rows = {r.source: r for r in fn(spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    per = Counter()
+    ndocs = Counter()
+    for d in docs:
+        per[d.source] += len(_tokens(d.text))
+        ndocs[d.source] += 1
+    share = sum(per.values()) / len(per)
+    assert set(rows) == set(per)
+    for s, r in rows.items():
+        assert r.n_docs == ndocs[s] and r.n_tokens == per[s]
+        assert abs(r.weight - min(1.0, share / per[s])) < 1.01e-4
+    # weights actually cap: at least one source above the uniform
+    # share gets weight < 1, and none exceeds 1
+    assert any(r.weight < 1.0 for r in rows.values())
+    assert all(r.weight <= 1.0 for r in rows.values())
+
+
+def test_source_overlap_matrix_consistency(spark):
+    fn, _ = _REGISTRY["source_overlap_matrix"]
+    rows = fn(spark, SF).collect()
+    pairs = A._minhash_pairs(A._hashed_shingles(spark, SF)).collect()
+    src = {d.doc_id: d.source for d in
+           spark.read.parquet(f"{SF}/documents.parquet").collect()}
+    expect = Counter()
+    maxj = {}
+    for p in pairs:
+        key = tuple(sorted((src[p.doc_a], src[p.doc_b])))
+        expect[key] += 1
+        maxj[key] = max(maxj.get(key, 0.0), p.jaccard)
+    assert {(r.source_a, r.source_b): r.n_pairs
+            for r in rows} == dict(expect)
+    for r in rows:
+        assert abs(r.max_jaccard - maxj[(r.source_a, r.source_b)]) < 1e-9
+        assert r.source_a <= r.source_b
