@@ -261,3 +261,45 @@ def append_to_index(docs: DataFrame, name: str,
     (dist.write.mode("append")
      .bucketBy(n_buckets, "doc_id").sortBy("doc_id")
      .saveAsTable(f"{name}_dist"))
+
+
+def compact_semdedup_stream(spark: SparkSession, ann_index_path: str,
+                            work_dir: str, out_index_path: str) -> dict:
+    """Apply stream_semdedup's per-batch decision log to the serving
+    index — the compaction its pair-log contract defers to: the new
+    index version = (current members ∪ streamed members) minus every
+    ``removed_id`` in the log, written as a FRESH index tree (same
+    frozen quantizer, members re-partitioned by cell).
+
+    Immutable-version discipline (the same reason
+    compact_stream_index is a full overwrite, not an append): the
+    update both ADDS survivors and DELETES losers — including losers
+    that were already indexed, since SemDeDup keeps the
+    farther-from-centroid member regardless of which side arrived
+    first — and a full deterministic rewrite to a new path is
+    idempotent (a crashed compaction is re-run; the serving pointer
+    flips to ``out_index_path`` only after it completes).  Probes on
+    the new version partition-prune exactly as before."""
+    import os as _os
+
+    cent = spark.read.parquet(f"{ann_index_path}/centroids")
+    members = (spark.read.parquet(f"{ann_index_path}/members")
+               .select("vec_id", "e", "cell"))
+    stats = {"n_index": members.count(), "n_streamed": 0, "n_removed": 0}
+    if _os.path.isdir(f"{work_dir}/members"):
+        sm = (spark.read.parquet(f"{work_dir}/members")
+              .select("vec_id", "e", "cell"))
+        stats["n_streamed"] = sm.count()
+        members = members.unionByName(sm)
+    if _os.path.isdir(f"{work_dir}/pairs"):
+        removed = (spark.read.parquet(f"{work_dir}/pairs")
+                   .select(F.col("removed_id").alias("vec_id"))
+                   .distinct())
+        stats["n_removed"] = removed.count()
+        members = members.join(removed, "vec_id", "left_anti")
+    cent.write.mode("overwrite").parquet(f"{out_index_path}/centroids")
+    members.write.mode("overwrite").partitionBy("cell") \
+        .parquet(f"{out_index_path}/members")
+    stats["n_out"] = spark.read.parquet(
+        f"{out_index_path}/members").count()
+    return stats

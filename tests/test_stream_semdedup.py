@@ -103,3 +103,56 @@ def test_stream_semdedup_replay_is_byte_identical(spark, tmp_path):
     assert _decided(spark, f"{work}/pairs") == first
     for rid, kid, _cell in first:
         assert abs(rid - kid) == off  # every pair is plant×original
+
+
+def test_compact_semdedup_stream_applies_decision_log(spark, tmp_path):
+    """Compaction folds streamed members in and drops every logged
+    loser (indexed OR streamed); the resulting version is
+    semantically dup-free for this corpus and still probes
+    partition-pruned."""
+    naturals, plants, off = _halves(spark)
+    idx = str(tmp_path / "ann")
+    inp = str(tmp_path / "in")
+    work = str(tmp_path / "work")
+    cp = str(tmp_path / "cp")
+    out = str(tmp_path / "ann_v2")
+    write_ann_index(naturals, idx, train_limit=A._IVF_TRAIN_LIMIT)
+    _write_half(plants, inp)
+    q = stream_semdedup(spark, inp, idx, work, cp)
+    q.awaitTermination(120)
+
+    from engine.index import compact_semdedup_stream
+    stats = compact_semdedup_stream(spark, idx, work, out)
+    assert stats["n_index"] == naturals.count()
+    assert stats["n_streamed"] == plants.count()
+    assert stats["n_removed"] == len(_decided(spark, f"{work}/pairs"))
+    assert stats["n_out"] == (stats["n_index"] + stats["n_streamed"]
+                              - stats["n_removed"])
+
+    # exactly the logged losers are gone; everything else survives
+    removed = {r for (r, _k, _c) in _decided(spark, f"{work}/pairs")}
+    expect = ({r.vec_id for r in naturals.collect()}
+              | {r.vec_id for r in plants.collect()}) - removed
+    got = {r.vec_id for r in
+           spark.read.parquet(f"{out}/members").select("vec_id")
+           .collect()}
+    assert got == expect
+
+    # the new version is a fixed point: re-running semantic dedup
+    # over its members (same frozen quantizer) finds nothing
+    cent_rows = [(r.cell, list(r.ce)) for r in
+                 spark.read.parquet(f"{out}/centroids").collect()]
+    cent = spark.createDataFrame(cent_rows, "cell long, ce array<double>")
+    mem = spark.read.parquet(f"{out}/members")
+    scored = A._sem_score(mem.select("vec_id", "e"), cent,
+                          mem.select("vec_id", "cell"))
+    leftovers = A._sem_candidate_pairs(scored, scored, A._SEM_TAU,
+                                       ordered=True).count()
+    assert leftovers == 0
+
+    # idempotent recovery: a crashed compaction is simply re-run
+    stats2 = compact_semdedup_stream(spark, idx, work, out)
+    assert stats2 == stats
+    assert {r.vec_id for r in
+            spark.read.parquet(f"{out}/members").select("vec_id")
+            .collect()} == expect
