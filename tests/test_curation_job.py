@@ -104,3 +104,25 @@ def test_curation_job_plan_shape(spark, tmp_path):
         scan_at = tail.find("FileScan parquet")
         assert 0 <= agg_at < scan_at, plan
     assert re.search(r"\[blk#\d+\], \[k#", plan), plan
+
+
+def test_full_pipeline_clean_then_curate(spark, tmp_path):
+    """The two jobs chain: run_cleaning_job's output parquet is
+    run_curation_job's input — the complete raw-corpus → training-
+    shards pipeline, funnels reconciling end to end."""
+    from engine.cleaning import run_cleaning_job
+
+    cleaned = str(tmp_path / "cleaned")
+    shards = str(tmp_path / "shards")
+    mc = run_cleaning_job(spark, f"{SF}/documents.parquet", cleaned,
+                          model_gate="dsir")
+    mq = run_curation_job(spark, cleaned, shards, budget=2048)
+
+    assert mq["rows_in"] == mc["rows_out"] > 0
+    assert 0 < mq["rows_out"] <= mq["rows_in"]
+    assert mq["n_shards"] >= 1
+    out = spark.read.parquet(shards)
+    assert out.count() == mq["rows_out"]
+    # every surviving row still carries the cleaned corpus columns
+    for c in ("doc_id", "text", "source", "pos", "ntok", "shard_id"):
+        assert c in out.columns
