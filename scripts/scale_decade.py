@@ -144,7 +144,7 @@ def main() -> None:
         print(json.dumps(rec))
 
     sections = set(os.environ.get(
-        "SCALE_SECTIONS", "semdedup,jobs,simhash_jobs").split(","))
+        "SCALE_SECTIONS", "semdedup,jobs,simhash_jobs,curation").split(","))
 
     # SemDeDup decade (r5 tail): with k FIXED the within-cell pairwise
     # is quadratic in corpus size (|cell| grows 10x -> ~100x pair
@@ -167,6 +167,18 @@ def main() -> None:
         wall = time.time() - t0
         rec = {"query": name, "k": k, "wall": round(wall, 2),
                "rows": df.count()}
+        results.append(rec)
+        print(json.dumps(rec))
+
+    # training-corpus assembly job (r5 tail): sample -> shuffle ->
+    # shard over both scales
+    from engine.curation import run_curation_job
+    for sf_name, sf_dir in ((("base", base_dir), ("10x", SCALE_DIR))
+                            if "curation" in sections else ()):
+        spark.catalog.clearCache()
+        m = run_curation_job(spark, f"{sf_dir}/documents.parquet",
+                             f"/tmp/scale10_curate_{sf_name}")
+        rec = {"query": f"curation_job_{sf_name}", **m}
         results.append(rec)
         print(json.dumps(rec))
 
