@@ -133,7 +133,7 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         "pack_token_budget", "lm_perplexity_filter", "tfidf_top_terms",
         "corpus_shuffle", "dup_ngram_fraction", "dsir_importance",
         "semdedup", "top_ngrams", "corpus_stats",
-        "source_overlap_matrix", "mixture_weights",
+        "source_overlap_matrix", "mixture_weights", "semdedup_clusters",
         "sessionize", "group_winner_rank", "turn_order_window",
         "quality_score", "token_count", "pii_scrub", "cleaning_pass",
         "boilerplate_strip", "pdf_extract"]

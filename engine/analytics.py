@@ -3292,7 +3292,7 @@ q_dsir_importance.__doc__ = q_dsir_importance.__doc__.format(b=_DSIR_B)
 
 _SEM_TAU = 0.95  # within-cluster cosine above which docs are semantic dups
 
-_DUCK_SEMDEDUP = f"""
+_DUCK_SEMDEDUP_DECIDED = f"""
 WITH {_DUCK_PLANTED_EMB},
 {_duck_ivf_ctes(train_limit=_IVF_TRAIN_LIMIT)},
 ccos AS (
@@ -3313,7 +3313,9 @@ ccos AS (
          CASE WHEN cc1 > cc2 THEN v1 ELSE v2 END AS removed_id,
          CASE WHEN cc1 > cc2 THEN v2 ELSE v1 END AS keeper
   FROM pairs
-)
+)"""
+
+_DUCK_SEMDEDUP = _DUCK_SEMDEDUP_DECIDED + """
 SELECT removed_id, MIN(keeper) AS keeper_id, MIN(cell) AS cell,
        COUNT(*) AS n_sem_dups
 FROM decided GROUP BY removed_id
@@ -3608,3 +3610,39 @@ def q_mixture_weights(spark, sf_dir):
                 4)
     return (per.crossJoin(F.broadcast(tot))
             .select("source", "n_docs", "n_tokens", w.alias("weight")))
+
+
+_DUCK_SEM_CLUSTERS = (
+    _DUCK_SEMDEDUP_DECIDED.replace("WITH ", "WITH RECURSIVE ", 1) + """
+, sedges AS (
+  SELECT removed_id AS src, keeper AS dst FROM decided
+  UNION ALL
+  SELECT keeper AS src, removed_id AS dst FROM decided
+), snodes AS (SELECT DISTINCT src AS vec_id FROM sedges),
+sreach(vec_id, peer) AS (
+  SELECT vec_id, vec_id AS peer FROM snodes
+  UNION
+  SELECT r.vec_id, e.dst AS peer
+  FROM sreach r JOIN sedges e ON e.src = r.peer
+)
+SELECT vec_id, MIN(peer) AS cluster_id FROM sreach GROUP BY vec_id
+""")
+
+
+@register("semdedup_clusters", _DUCK_SEM_CLUSTERS)
+def q_semdedup_clusters(spark, sf_dir):
+    """Transitive SEMANTIC duplicate clusters — the semantic family's
+    analogue of dedup_clusters: connected components (min-id label
+    propagation with pointer jumping, _connected_components — the same
+    machinery, the pair source is the only difference) over the
+    semdedup_pairs graph, one row per vector in >=1 pair, cluster_id =
+    smallest member.  Chains matter for semantic dups exactly as for
+    MinHash ones: re-crawl A ~ A' ~ A'' must collapse to ONE kept
+    vector even when A ~ A'' itself scored under tau.  Oracle: the
+    recursive-CTE min-reachable-id, same as dedup_clusters."""
+    emb, _off = _planted_embeddings(spark, sf_dir)
+    pairs = semdedup_pairs(emb).select(
+        F.col("removed_id").alias("doc_a"),
+        F.col("keeper_id").alias("doc_b"))
+    return (_connected_components(pairs)
+            .select(F.col("doc_id").alias("vec_id"), "cluster_id"))

@@ -270,3 +270,40 @@ def test_source_overlap_matrix_consistency(spark):
     for r in rows:
         assert abs(r.max_jaccard - maxj[(r.source_a, r.source_b)]) < 1e-9
         assert r.source_a <= r.source_b
+
+
+def test_semdedup_clusters_collapse_transitive_chain(spark):
+    """A re-crawl chain A ~ A' ~ A'' whose endpoints score UNDER tau
+    must still collapse to one cluster: adjacent cosines are
+    cos(16°)=0.961 >= 0.95, the endpoint cosine cos(32°)=0.848 is
+    not a pair, and the component must bridge it."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    dims = 20
+    rows = []
+    for i, ang in enumerate((0.0, 16.0, 32.0)):
+        a = math.radians(ang)
+        rows.append((100 + i,
+                     [math.cos(a), math.sin(a)] + [0.0] * (dims - 2)))
+    # 16 mutually-orthogonal seeds (ids 0..15 -> the k-means seeds),
+    # far from the chain plane
+    for j in range(16):
+        v = [0.0] * dims
+        v[4 + (j % 16)] = 1.0
+        rows.append((j, v))
+    emb = spark.createDataFrame(rows, "vec_id long, e array<double>")
+
+    pairs = A.semdedup_pairs(emb, train_limit=0)
+    got = {tuple(sorted((r.removed_id, r.keeper_id)))
+           for r in pairs.collect()}
+    assert (100, 101) in got and (101, 102) in got
+    assert (100, 102) not in got  # endpoints under tau
+
+    labels = {r.doc_id: r.cluster_id for r in
+              A._connected_components(
+                  pairs.select(F.col("removed_id").alias("doc_a"),
+                               F.col("keeper_id").alias("doc_b")))
+              .collect()}
+    assert labels == {100: 100, 101: 100, 102: 100}
