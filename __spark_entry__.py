@@ -65,6 +65,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # list each round; demote them once a CORRECTNESS_r{N}.json row lands.
 _PRIORITY_FIRST = [
     # new in r5 (no prior driver row can exist):
+    "lm2_perplexity_filter",
     "semdedup_clusters",
     "source_overlap_matrix",
     "mixture_weights",

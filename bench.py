@@ -134,6 +134,7 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         "corpus_shuffle", "dup_ngram_fraction", "dsir_importance",
         "semdedup", "top_ngrams", "corpus_stats",
         "source_overlap_matrix", "mixture_weights", "semdedup_clusters",
+        "lm2_perplexity_filter",
         "sessionize", "group_winner_rank", "turn_order_window",
         "quality_score", "token_count", "pii_scrub", "cleaning_pass",
         "boilerplate_strip", "pdf_extract"]

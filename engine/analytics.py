@@ -3646,3 +3646,131 @@ def q_semdedup_clusters(spark, sf_dir):
         F.col("keeper_id").alias("doc_b"))
     return (_connected_components(pairs)
             .select(F.col("doc_id").alias("vec_id"), "cluster_id"))
+
+
+# interpolated bigram LM: p(w | prev) = 3/4 * c2/c1(prev) + 1/4 * c1(w)/T
+# == (3*c2*T + c1w*c1p) / (4*c1p*T) — ONE exact-integer ratio, so the
+# only float op is a single log2 of BIGINT-exact operands (identical in
+# both engines; products stay < 2^53 well past sf0.1 — at larger
+# corpora rescale counts or split the log, documented below)
+_LM2_KEEP_BITS = 4.94  # bits/token ceiling (~p85 of the synthetic corpus)
+
+_DUCK_LM2 = f"""
+WITH base AS (
+  SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+  WHERE len({_DUCK_TOKS}) >= 1
+), uni AS (
+  SELECT tok, COUNT(*) AS c FROM (
+    SELECT unnest(t) AS tok FROM base) GROUP BY tok
+), tot AS (SELECT CAST(SUM(c) AS BIGINT) AS tt FROM uni),
+bg AS (
+  SELECT doc_id, unnest(list_transform(range(2, len(t) + 1),
+                                       i -> t[i - 1] || ' ' || t[i]))
+           AS bgs
+  FROM base WHERE len(t) >= 2
+), bgc AS (
+  SELECT bgs, COUNT(*) AS c2 FROM bg GROUP BY bgs
+), bg_contrib AS (
+  SELECT b.doc_id,
+         CAST(ROUND((log2(CAST(3 * k.c2 * tot.tt
+                               + uw.c * up.c AS DOUBLE))
+                     - log2(CAST(4 * up.c * tot.tt AS DOUBLE)))
+                    * 1000000) AS BIGINT) AS lg
+  FROM bg b
+  JOIN bgc k ON k.bgs = b.bgs
+  JOIN uni up ON up.tok = string_split(b.bgs, ' ')[1]
+  JOIN uni uw ON uw.tok = string_split(b.bgs, ' ')[2]
+  CROSS JOIN tot
+), first_contrib AS (
+  SELECT b.doc_id,
+         CAST(ROUND((log2(CAST(u.c AS DOUBLE))
+                     - log2(CAST(tot.tt AS DOUBLE))) * 1000000)
+              AS BIGINT) AS lg
+  FROM base b JOIN uni u ON u.tok = b.t[1] CROSS JOIN tot
+), contrib AS (
+  SELECT doc_id, lg FROM bg_contrib
+  UNION ALL SELECT doc_id, lg FROM first_contrib
+)
+SELECT doc_id, n_tokens, bits_per_token,
+       CAST(bits_per_token <= {_LM2_KEEP_BITS} AS INT) AS keep
+FROM (
+  SELECT c.doc_id, COUNT(*) AS n_tokens,
+         ROUND(-(CAST(SUM(c.lg) AS DOUBLE) / 1000000.0) / COUNT(*), 4)
+           AS bits_per_token
+  FROM contrib c GROUP BY c.doc_id)
+"""
+
+
+@register("lm2_perplexity_filter", _DUCK_LM2)
+def q_lm2_perplexity_filter(spark, sf_dir):
+    """Interpolated BIGRAM-LM perplexity filter — the conditional-
+    probability step up from lm_perplexity_filter toward CCNet's
+    KenLM: p(w|prev) = 3/4·c2(prev,w)/c1(prev) + 1/4·c1(w)/T (fixed
+    Jelinek-Mercer mix), scored as mean -log2 p bits/token; the first
+    token backs off to the unigram.  Repetitive boilerplate scores
+    LOW here (its bigrams are predictable) while shuffled/garbled text
+    scores HIGH even when its unigram profile looks fine — the signal
+    the unigram filter cannot see.
+
+    Cross-engine exactness: the interpolation is ONE exact-integer
+    ratio (3·c2·T + c1w·c1p) / (4·c1p·T), so the only float op is a
+    single log2 over BIGINT-exact operands before the usual micro-bit
+    quantization; products stay < 2^53 well past sf0.1 (at 100 TB,
+    rescale counts or split the log into log2(num)-log2(den) of
+    per-factor sums).
+
+    Scale shape: one bigram groupBy + one unigram groupBy (both
+    combinable), then the scoring joins key on the bigram / token —
+    the Zipf head broadcasts after min-count pruning, and hapax
+    bigrams fold to the backoff term, exactly like the unigram
+    filter's vocabulary note."""
+    return lm2_scores(_t(spark, sf_dir, "documents"))
+
+
+def lm2_scores(docs):
+    """(doc_id, n_tokens, bits_per_token, keep) under the interpolated
+    bigram LM, over any (doc_id, text) frame — q_lm2_perplexity_filter's
+    scoring as a reusable stage (same contract as lm_scores)."""
+    spark = docs.sparkSession
+    base = (docs.select("doc_id", F.expr(_SPARK_TOKS).alias("t"))
+            .filter(F.expr("size(t) >= 1"))
+            .repartition(spark.sparkContext.defaultParallelism))
+    uni = (base.select(F.explode("t").alias("tok"))
+           .groupBy("tok").agg(F.count("*").alias("c")))
+    tot = uni.agg(F.sum("c").cast("long").alias("tt"))
+    bg = (base.filter(F.expr("size(t) >= 2"))
+          .select("doc_id",
+                  F.explode(F.expr(
+                      "transform(sequence(2, size(t)), i -> "
+                      "concat(element_at(t, i - 1), ' ', "
+                      "element_at(t, i)))")).alias("bgs")))
+    bgc = bg.groupBy("bgs").agg(F.count("*").alias("c2"))
+    up = uni.select(F.col("tok").alias("wp"), F.col("c").alias("cp"))
+    uw = uni.select(F.col("tok").alias("ww"), F.col("c").alias("cw"))
+    bg_contrib = (bg.join(bgc, "bgs")
+                  .withColumn("wp", F.expr("split(bgs, ' ')[0]"))
+                  .withColumn("ww", F.expr("split(bgs, ' ')[1]"))
+                  .join(up, "wp").join(uw, "ww")
+                  .crossJoin(F.broadcast(tot))
+                  .select("doc_id", F.round(
+                      (F.log2((3 * F.col("c2") * F.col("tt")
+                               + F.col("cw") * F.col("cp"))
+                              .cast("double"))
+                       - F.log2((4 * F.col("cp") * F.col("tt"))
+                                .cast("double"))) * 1000000.0, 0)
+                      .cast("long").alias("lg")))
+    first = (base.select("doc_id", F.expr("element_at(t, 1)").alias("tok"))
+             .join(uni, "tok").crossJoin(F.broadcast(tot))
+             .select("doc_id", F.round(
+                 (F.log2(F.col("c").cast("double"))
+                  - F.log2(F.col("tt").cast("double"))) * 1000000.0, 0)
+                 .cast("long").alias("lg")))
+    contrib = bg_contrib.unionByName(first)
+    agg = contrib.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"), F.sum("lg").alias("s"))
+    bits = F.round(-(F.col("s").cast("double") / 1000000.0)
+                   / F.col("n_tokens"), 4)
+    return (agg.withColumn("bits_per_token", bits)
+            .select("doc_id", "n_tokens", "bits_per_token",
+                    (F.col("bits_per_token") <= F.lit(_LM2_KEEP_BITS))
+                    .cast("int").alias("keep")))

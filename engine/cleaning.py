@@ -30,7 +30,8 @@ from pyspark.sql import functions as F
 from engine.analytics import (_C4_STOP_SQL, _LANG_SETS, _PII_EMAIL,
                               _PII_PHONE, _SPARK_TOKS,
                               _connected_components, _hashed_shingles_df,
-                              _minhash_pairs, dsir_scores, lm_scores)
+                              _minhash_pairs, dsir_scores, lm2_scores,
+                              lm_scores)
 
 
 def quality_language_gate(docs: DataFrame) -> DataFrame:
@@ -92,6 +93,8 @@ def model_quality_gate(docs: DataFrame, model: str) -> DataFrame:
 
     ``model="lm"``: CCNet-style unigram-LM bits/token ceiling
     (lm_scores) — the LM is trained on the frame being gated.
+    ``model="lm2"``: the interpolated bigram LM (lm2_scores) — catches
+    bigram-breaking garble the unigram profile cannot see.
     ``model="dsir"``: DSIR target-vs-raw log-likelihood ratio > 0
     (dsir_scores).
 
@@ -102,6 +105,8 @@ def model_quality_gate(docs: DataFrame, model: str) -> DataFrame:
     doc_id, so gated columns pass through untouched."""
     if model == "lm":
         keeps = lm_scores(docs).filter(F.col("keep") == 1)
+    elif model == "lm2":
+        keeps = lm2_scores(docs).filter(F.col("keep") == 1)
     elif model == "dsir":
         # DSIR proper RESAMPLES by importance weight; as a hard gate
         # the absolute `ratio > 0` rule degenerates on small/odd

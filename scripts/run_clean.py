@@ -28,7 +28,7 @@ def main() -> None:
                    help="also drop repeated-boilerplate docs "
                         "(Gopher dup-3gram / top-bigram thresholds)")
     p.add_argument("--model-gate", default=None,
-                   choices=("lm", "dsir"),
+                   choices=("lm", "lm2", "dsir"),
                    help="corpus-model quality gate (CCNet-style LM "
                         "bits/token, or DSIR importance ratio)")
     p.add_argument("--sketch", default="minhash",

@@ -307,3 +307,28 @@ def test_semdedup_clusters_collapse_transitive_chain(spark):
                                F.col("keeper_id").alias("doc_b")))
               .collect()}
     assert labels == {100: 100, 101: 100, 102: 100}
+
+
+def test_lm2_sees_bigram_structure_unigrams_cannot(spark):
+    """Two documents with the IDENTICAL unigram profile: one with
+    coherent repeated bigram structure, one with the same tokens in a
+    bigram-breaking order.  The unigram LM scores them identically;
+    the bigram LM must separate them."""
+    words = ["alpha", "beta", "gamma", "delta"]
+    coherent = " ".join(words * 12)                  # abcd abcd ...
+    # same multiset, adjacent pairs never repeat the abcd pattern
+    scrambled = " ".join(
+        [w for pair in zip(words * 6, list(reversed(words)) * 6)
+         for w in pair])
+    docs = spark.createDataFrame(
+        [(1, coherent), (2, scrambled)], "doc_id long, text string")
+
+    uni = {r.doc_id: r.bits_per_token
+           for r in A.lm_scores(docs).collect()}
+    bi = {r.doc_id: r.bits_per_token
+          for r in A.lm2_scores(docs).collect()}
+    assert abs(uni[1] - uni[2]) < 1e-9          # unigram LM is blind
+    assert bi[1] < bi[2] - 0.5                  # bigram LM separates
+    # and n_tokens covers every token incl. the unigram-backoff first
+    rows = {r.doc_id: r for r in A.lm2_scores(docs).collect()}
+    assert rows[1].n_tokens == 48 and rows[2].n_tokens == 48
