@@ -3349,7 +3349,7 @@ def q_semdedup(spark, sf_dir):
 
 
 def semdedup_removals(emb, k=None, train_limit=_IVF_TRAIN_LIMIT,
-                      tau=_SEM_TAU):
+                      tau=_SEM_TAU, assign_mode="flat"):
     """Library form of q_semdedup over any (vec_id, e) frame, with the
     knob the paper turns at scale: ``k`` — the query pins k=_IVF_K for
     oracle determinism, but SemDeDup's contract is k ∝ n (hold
@@ -3360,7 +3360,8 @@ def semdedup_removals(emb, k=None, train_limit=_IVF_TRAIN_LIMIT,
     via sqrt(k) super-cells, which drops assignment to O(n·sqrt(k));
     not needed at the scales measured here and documented rather than
     built."""
-    decided = semdedup_pairs(emb, k=k, train_limit=train_limit, tau=tau)
+    decided = semdedup_pairs(emb, k=k, train_limit=train_limit, tau=tau,
+                             assign_mode=assign_mode)
     return (decided
             .groupBy("removed_id")
             .agg(F.min("keeper_id").alias("keeper_id"),
@@ -3369,13 +3370,15 @@ def semdedup_removals(emb, k=None, train_limit=_IVF_TRAIN_LIMIT,
 
 
 def semdedup_pairs(emb, k=None, train_limit=_IVF_TRAIN_LIMIT,
-                   tau=_SEM_TAU):
+                   tau=_SEM_TAU, assign_mode="flat"):
     """Decided (removed_id, keeper_id, cell) pairs of semdedup_removals
     BEFORE the per-removed grouping — the unit the streaming form
     (engine/streaming.stream_semdedup) emits per batch, so
     union-of-batches == this frame is the lossless-decomposition
     contract (mirroring _stream_neardup_pairs)."""
     cent, assign = _ivf_fit(emb, train_limit=train_limit, k=k)
+    if assign_mode == "hier":
+        assign = _ivf_assign_hier(emb, cent)
     scored = _sem_score(emb, cent, assign).persist()
     return _sem_decide(_sem_candidate_pairs(scored, scored, tau,
                                             ordered=True))
@@ -3774,3 +3777,83 @@ def lm2_scores(docs):
             .select("doc_id", "n_tokens", "bits_per_token",
                     (F.col("bits_per_token") <= F.lit(_LM2_KEEP_BITS))
                     .cast("int").alias("keep")))
+
+
+def _hier_quantizer(cent_rows, branch):
+    """Group the k coarse centroids into ``branch`` super-cells with a
+    deterministic driver-side Lloyd pass (the model is k×dims — driver
+    territory, like every coarse quantizer).  Returns (super_centroids,
+    {cell: super_id}); 4dp rounding and (rounded-cos, -id) argmax keep
+    it reproducible."""
+    import math
+
+    def _cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb) if na and nb else 0.0
+
+    def _nearest(ce, sups):
+        return max(range(len(sups)),
+                   key=lambda g: (round(_cos(ce, sups[g]), 6), -g))
+
+    sup = [list(ce) for _, ce in cent_rows[:branch]]
+    for _ in range(3):
+        groups = [[] for _ in range(branch)]
+        for _cell, ce in cent_rows:
+            groups[_nearest(ce, sup)].append(ce)
+        for g in range(branch):
+            if groups[g]:
+                dims = len(groups[g][0])
+                sup[g] = [round(sum(v[d] for v in groups[g])
+                                / len(groups[g]), 4)
+                          for d in range(dims)]
+    return sup, {cell: _nearest(ce, sup) for cell, ce in cent_rows}
+
+
+def _ivf_assign_hier(emb, cent, branch=None):
+    """Two-level (hierarchical) nearest-centroid assignment — the
+    O(n·k) → O(n·√k) coarse-assignment fix semdedup_removals'
+    docstring defers to: stage 1 picks the nearest of ~√k SUPER-cells
+    (broadcast argmax, exactly _ivf_assign's shape), stage 2 joins
+    each vector to only ITS super-cell's children and argmaxes there
+    (~k/√k candidates instead of k).  Both stages are broadcast joins
+    + partial-agg argmaxes — no new shuffle shapes.
+
+    APPROXIMATE by design (the standard IVF trade): a vector whose
+    true nearest centroid sits in a different super-cell gets its
+    second-best — harmless for SemDeDup (near-identical vectors take
+    the same path, so pairs stay co-located; measured 98.2% pair
+    recovery at 22k vectors / k=160), not for exact-oracle queries,
+    which keep the flat assign.
+
+    MEASURED CROSSOVER CAVEAT (FLOOR.md r5-final): at 22k×160 this is
+    SLOWER than the flat broadcast argmax (2.47 vs 1.13 s isolated) —
+    stage 2's vec_id re-join adds an exchange that outweighs the
+    5-6× lambda savings while fixed costs dominate.  The flat path
+    stays the default; the hierarchy pays off only when per-row
+    quantizer CPU dominates exchanges (k in the thousands, where
+    production systems reach for a native/GPU coarse quantizer
+    anyway).  Kept as the shape documentation + the option."""
+    import math
+
+    cent_rows = [(r.cell, list(r.ce)) for r in
+                 cent.orderBy("cell").collect()]
+    if branch is None:
+        branch = max(2, int(math.isqrt(len(cent_rows))))
+    spark = emb.sparkSession
+    sup, sup_of = _hier_quantizer(cent_rows, branch)
+    sup_df = spark.createDataFrame(
+        [(g, v) for g, v in enumerate(sup)], "cell long, ce array<double>")
+    s1 = _ivf_assign(emb, sup_df) \
+        .select("vec_id", F.col("cell").alias("sup"))
+    kids = spark.createDataFrame(
+        [(cell, sup_of[cell], ce) for cell, ce in cent_rows],
+        "cell long, sup long, ce array<double>")
+    pick = F.max(F.struct(F.round(F.expr(_COS_E_CE), 6).alias("c"),
+                          (-F.col("cell")).alias("nc")))
+    return (emb.join(s1, "vec_id")
+            .join(F.broadcast(kids), "sup")
+            .groupBy("vec_id")
+            .agg(pick.alias("m"))
+            .select("vec_id", (-F.col("m.nc")).alias("cell")))
