@@ -3733,27 +3733,40 @@ def q_lm2_perplexity_filter(spark, sf_dir):
 def lm2_scores(docs):
     """(doc_id, n_tokens, bits_per_token, keep) under the interpolated
     bigram LM, over any (doc_id, text) frame — q_lm2_perplexity_filter's
-    scoring as a reusable stage (same contract as lm_scores)."""
+    scoring as a reusable stage (same contract as lm_scores).
+
+    Every shuffled key is a 60-bit md5 INT, never the string — the r2
+    regression lesson the minhash family carries (_SPARK_SH_HASH):
+    unigram counts key on the token hash, bigram counts and the
+    scoring joins key on the bigram-string hash; the strings
+    themselves never leave their rows."""
     spark = docs.sparkSession
+    h_of = ("cast(conv(substr(md5(cast({x} as binary)), 18, 15), "
+            "16, 10) as bigint)")
     base = (docs.select("doc_id", F.expr(_SPARK_TOKS).alias("t"))
             .filter(F.expr("size(t) >= 1"))
             .repartition(spark.sparkContext.defaultParallelism))
     uni = (base.select(F.explode("t").alias("tok"))
-           .groupBy("tok").agg(F.count("*").alias("c")))
+           .select(F.expr(h_of.format(x="tok")).alias("h1"))
+           .groupBy("h1").agg(F.count("*").alias("c")))
     tot = uni.agg(F.sum("c").cast("long").alias("tt"))
     bg = (base.filter(F.expr("size(t) >= 2"))
           .select("doc_id",
                   F.explode(F.expr(
                       "transform(sequence(2, size(t)), i -> "
                       "concat(element_at(t, i - 1), ' ', "
-                      "element_at(t, i)))")).alias("bgs")))
-    bgc = bg.groupBy("bgs").agg(F.count("*").alias("c2"))
-    up = uni.select(F.col("tok").alias("wp"), F.col("c").alias("cp"))
-    uw = uni.select(F.col("tok").alias("ww"), F.col("c").alias("cw"))
-    bg_contrib = (bg.join(bgc, "bgs")
-                  .withColumn("wp", F.expr("split(bgs, ' ')[0]"))
-                  .withColumn("ww", F.expr("split(bgs, ' ')[1]"))
-                  .join(up, "wp").join(uw, "ww")
+                      "element_at(t, i)))")).alias("bgs"))
+          .select("doc_id",
+                  F.expr(h_of.format(x="bgs")).alias("h2"),
+                  F.expr(h_of.format(x="split(bgs, ' ')[0]"))
+                  .alias("hp"),
+                  F.expr(h_of.format(x="split(bgs, ' ')[1]"))
+                  .alias("hw")))
+    bgc = bg.groupBy("h2").agg(F.count("*").alias("c2"))
+    up = uni.select(F.col("h1").alias("hp"), F.col("c").alias("cp"))
+    uw = uni.select(F.col("h1").alias("hw"), F.col("c").alias("cw"))
+    bg_contrib = (bg.join(bgc, "h2")
+                  .join(up, "hp").join(uw, "hw")
                   .crossJoin(F.broadcast(tot))
                   .select("doc_id", F.round(
                       (F.log2((3 * F.col("c2") * F.col("tt")
@@ -3762,8 +3775,10 @@ def lm2_scores(docs):
                        - F.log2((4 * F.col("cp") * F.col("tt"))
                                 .cast("double"))) * 1000000.0, 0)
                       .cast("long").alias("lg")))
-    first = (base.select("doc_id", F.expr("element_at(t, 1)").alias("tok"))
-             .join(uni, "tok").crossJoin(F.broadcast(tot))
+    first = (base.select(
+        "doc_id",
+        F.expr(h_of.format(x="element_at(t, 1)")).alias("h1"))
+             .join(uni, "h1").crossJoin(F.broadcast(tot))
              .select("doc_id", F.round(
                  (F.log2(F.col("c").cast("double"))
                   - F.log2(F.col("tt").cast("double"))) * 1000000.0, 0)
