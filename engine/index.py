@@ -279,7 +279,14 @@ def compact_semdedup_stream(spark: SparkSession, ann_index_path: str,
     first — and a full deterministic rewrite to a new path is
     idempotent (a crashed compaction is re-run; the serving pointer
     flips to ``out_index_path`` only after it completes).  Probes on
-    the new version partition-prune exactly as before."""
+    the new version partition-prune exactly as before.
+
+    Operational contract: RETIRE the work_dir once the pointer flips —
+    the new version already contains the streamed members, so folding
+    the same log into ITS OWN output later would union them a second
+    time.  Idempotence holds for re-running the same
+    (ann_index_path, work_dir) → out_index_path triple, which is the
+    crash-recovery case."""
     import os as _os
 
     cent = spark.read.parquet(f"{ann_index_path}/centroids")
