@@ -289,6 +289,13 @@ def compact_semdedup_stream(spark: SparkSession, ann_index_path: str,
     crash-recovery case."""
     import os as _os
 
+    if _os.path.abspath(out_index_path) == _os.path.abspath(
+            ann_index_path):
+        raise ValueError(
+            "compact_semdedup_stream writes a NEW index version; an "
+            "in-place overwrite would clobber the members tree while "
+            "reading it — pass a fresh out_index_path and flip the "
+            "serving pointer after completion")
     cent = spark.read.parquet(f"{ann_index_path}/centroids")
     members = (spark.read.parquet(f"{ann_index_path}/members")
                .select("vec_id", "e", "cell"))

@@ -156,3 +156,12 @@ def test_compact_semdedup_stream_applies_decision_log(spark, tmp_path):
     assert {r.vec_id for r in
             spark.read.parquet(f"{out}/members").select("vec_id")
             .collect()} == expect
+
+
+def test_compact_refuses_in_place_overwrite(spark, tmp_path):
+    import pytest
+
+    from engine.index import compact_semdedup_stream
+    idx = str(tmp_path / "ann")
+    with pytest.raises(ValueError):
+        compact_semdedup_stream(spark, idx, str(tmp_path / "w"), idx)
