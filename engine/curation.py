@@ -21,7 +21,14 @@ sum share ONE two-level prefix-sum pass (per-block aggregates → a
 window over the tiny block table → within-block windows) — the only
 single-partition work touches the 256-row block table, never the
 corpus (same discipline as q_corpus_shuffle / q_pack_token_budget,
-plan-asserted in tests/test_curation_job.py)."""
+plan-asserted in tests/test_curation_job.py).
+
+A STREAMING variant of this job is deliberately omitted: shard
+packing and training order are global properties of the corpus (the
+auditability contract above), and a per-arrival assignment would make
+them properties of ingestion timing instead — the right streaming
+boundary is upstream (stream_clean), with assembly re-run as a batch
+job over the compacted corpus."""
 
 from __future__ import annotations
 
