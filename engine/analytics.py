@@ -3608,9 +3608,13 @@ def q_mixture_weights(spark, sf_dir):
         F.count("*").alias("n_docs"), F.sum(ntok).alias("n_tokens"))
     tot = per.agg(F.sum("n_tokens").cast("double").alias("t"),
                   F.count("*").alias("s"))
-    w = F.round(F.least(F.lit(1.0),
-                        (F.col("t") / F.col("s")) / F.col("n_tokens")),
-                4)
+    # pin the zero-token-source edge to the oracle's semantics
+    # (DuckDB x/0 = inf -> LEAST 1.0; Spark x/0 = NULL)
+    w = F.round(F.when(F.col("n_tokens") > 0,
+                       F.least(F.lit(1.0),
+                               (F.col("t") / F.col("s"))
+                               / F.col("n_tokens")))
+                .otherwise(F.lit(1.0)), 4)
     return (per.crossJoin(F.broadcast(tot))
             .select("source", "n_docs", "n_tokens", w.alias("weight")))
 

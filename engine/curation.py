@@ -49,8 +49,12 @@ def mixture_rates(docs: DataFrame) -> DataFrame:
     per = docs.groupBy("source").agg(F.sum(ntok).alias("n_tokens"))
     tot = per.agg(F.sum("n_tokens").cast("double").alias("t"),
                   F.count("*").alias("s"))
-    w = F.least(F.lit(1.0),
-                (F.col("t") / F.col("s")) / F.col("n_tokens"))
+    # a zero-token source: Spark's x/0 is NULL while DuckDB's is inf
+    # (-> LEAST 1.0); pin the DuckDB/oracle behavior explicitly so the
+    # engines can never diverge on a degenerate stratum
+    w = F.when(F.col("n_tokens") > 0,
+               F.least(F.lit(1.0),
+                       (F.col("t") / F.col("s")) / F.col("n_tokens")))         .otherwise(F.lit(1.0))
     return (per.crossJoin(F.broadcast(tot))
             .select("source", w.alias("weight")))
 

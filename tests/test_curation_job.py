@@ -126,3 +126,18 @@ def test_full_pipeline_clean_then_curate(spark, tmp_path):
     # every surviving row still carries the cleaned corpus columns
     for c in ("doc_id", "text", "source", "pos", "ntok", "shard_id"):
         assert c in out.columns
+
+
+def test_mixture_rates_zero_token_source(spark):
+    """A source whose documents have no tokens must get weight 1.0 on
+    both engines (DuckDB x/0 = inf -> LEAST 1.0; Spark x/0 would be
+    NULL and silently drop the stratum — pinned explicitly)."""
+    from engine.curation import mixture_rates
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta", "srcA"),
+         (2, "", "srcB")],
+        "doc_id long, text string, source string")
+    w = {r.source: r.weight for r in mixture_rates(docs).collect()}
+    assert w["srcB"] == 1.0
+    assert 0 < w["srcA"] <= 1.0
