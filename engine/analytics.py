@@ -352,6 +352,16 @@ WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.2
 _DUCK_MINHASH = _duck_minhash_sql()
 
 
+# word-3-gram shingle array over a lambda-bound `toks` column — the
+# ONE definition both the dedup family (_hashed_shingles_df) and
+# q_top_ngrams build from, so a shingle change cannot silently fork
+_SPARK_SHINGLE_EXPR = (
+    "CASE WHEN size(toks) >= 3 THEN "
+    "transform(sequence(1, size(toks) - 2), "
+    "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), "
+    "' ', element_at(toks, i + 2))) ELSE array() END")
+
+
 def _hashed_shingles(spark, sf_dir):
     return _hashed_shingles_df(_t(spark, sf_dir, "documents"))
 
@@ -373,13 +383,8 @@ def _hashed_shingles_df(docs):
     # materialize the token array once — inlining the split inside the
     # transform lambda would re-split the text per shingle (O(len²))
     toks = docs.select("doc_id", F.expr(_SPARK_TOKS).alias("toks"))
-    shingle_expr = (
-        "CASE WHEN size(toks) >= 3 THEN "
-        "transform(sequence(1, size(toks) - 2), "
-        "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), "
-        "' ', element_at(toks, i + 2))) ELSE array() END")
     shingled = toks.select(
-        "doc_id", F.explode(F.expr(shingle_expr)).alias("sh"))
+        "doc_id", F.explode(F.expr(_SPARK_SHINGLE_EXPR)).alias("sh"))
     return shingled.select(
         "doc_id", F.expr(_SPARK_SH_HASH).alias("h")).distinct()
 
@@ -3422,7 +3427,10 @@ def _sem_candidate_pairs(scored_a, scored_b, tau, ordered: bool):
                         F.col("e").alias("e_b"))
     dotab = ("aggregate(zip_with(e_a, e_b, (x, y) -> x * y), 0D, "
              "(acc, v) -> acc + v)")
-    theta_max = float(__import__("math").acos(tau)) + 1e-3
+    # slack 2e-3: worst-case acos error of a 6dp-rounded cc near 1.0
+    # is ~1.0e-3 per member — 2e-3 keeps the prune strictly
+    # conservative even for boundary-coplanar pairs
+    theta_max = float(__import__("math").acos(tau)) + 2e-3
     cond = ((F.col("cell") == F.col("cellb"))
             & (F.abs(F.col("th1") - F.col("th2")) <= theta_max))
     cond = cond & ((F.col("v1") < F.col("v2")) if ordered
@@ -3484,15 +3492,9 @@ def q_top_ngrams(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents") \
         .repartition(spark.sparkContext.defaultParallelism)
     toks = docs.select("doc_id", F.expr(_SPARK_TOKS).alias("toks"))
-    shingle_expr = (
-        "CASE WHEN size(toks) >= 3 THEN "
-        "transform(sequence(1, size(toks) - 2), "
-        "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), "
-        "' ', element_at(toks, i + 2))) ELSE array() END")
     shingled = toks.select(
-        "doc_id", F.explode(F.expr(shingle_expr)).alias("sh"))
-    ints = (shingled.select("doc_id", F.expr(_SPARK_SH_HASH).alias("h"))
-            .distinct())
+        "doc_id", F.explode(F.expr(_SPARK_SHINGLE_EXPR)).alias("sh"))
+    ints = _hashed_shingles(spark, sf_dir)
     top = (ints.groupBy("h").agg(F.count("*").alias("n_docs"))
            .orderBy(F.col("n_docs").desc(), "h").limit(_TOP_NGRAMS_K))
     strs = shingled.select("sh", F.expr(_SPARK_SH_HASH).alias("h"))
@@ -3602,7 +3604,17 @@ def q_mixture_weights(spark, sf_dir):
     Scale shape: one combinable groupBy over |sources| keys + a 1-row
     broadcast total; the weight math is scalar double arithmetic
     written identically in both engines."""
-    docs = _t(spark, sf_dir, "documents")
+    return (mixture_weight_table(_t(spark, sf_dir, "documents"))
+            .select("source", "n_docs", "n_tokens",
+                    F.round("weight", 4).alias("weight")))
+
+
+def mixture_weight_table(docs):
+    """(source, n_docs, n_tokens, weight) — THE mixture policy, shared
+    by q_mixture_weights (which rounds for the oracle hash) and the
+    curation job's sampling stage (which uses the unrounded rate);
+    one definition so the reported weights and the sampled rates can
+    never fork."""
     ntok = F.expr(f"size({_SPARK_TOKS})")
     per = docs.groupBy("source").agg(
         F.count("*").alias("n_docs"), F.sum(ntok).alias("n_tokens"))
@@ -3610,11 +3622,10 @@ def q_mixture_weights(spark, sf_dir):
                   F.count("*").alias("s"))
     # pin the zero-token-source edge to the oracle's semantics
     # (DuckDB x/0 = inf -> LEAST 1.0; Spark x/0 = NULL)
-    w = F.round(F.when(F.col("n_tokens") > 0,
-                       F.least(F.lit(1.0),
-                               (F.col("t") / F.col("s"))
-                               / F.col("n_tokens")))
-                .otherwise(F.lit(1.0)), 4)
+    w = F.when(F.col("n_tokens") > 0,
+               F.least(F.lit(1.0),
+                       (F.col("t") / F.col("s")) / F.col("n_tokens"))) \
+        .otherwise(F.lit(1.0))
     return (per.crossJoin(F.broadcast(tot))
             .select("source", "n_docs", "n_tokens", w.alias("weight")))
 
@@ -3862,8 +3873,14 @@ def _ivf_assign_hier(emb, cent, branch=None):
         branch = max(2, int(math.isqrt(len(cent_rows))))
     spark = emb.sparkSession
     sup, sup_of = _hier_quantizer(cent_rows, branch)
+    # offer ONLY super-cells that own >=1 child: a childless super
+    # (its group emptied during the driver Lloyd) would win stage 1
+    # for some vectors and then match no kids row — the inner join
+    # would silently DROP those vectors instead of giving them a
+    # second-best cell
+    live = sorted({g for g in sup_of.values()})
     sup_df = spark.createDataFrame(
-        [(g, v) for g, v in enumerate(sup)], "cell long, ce array<double>")
+        [(g, sup[g]) for g in live], "cell long, ce array<double>")
     s1 = _ivf_assign(emb, sup_df) \
         .select("vec_id", F.col("cell").alias("sup"))
     kids = spark.createDataFrame(

@@ -112,12 +112,18 @@ def model_quality_gate(docs: DataFrame, model: str) -> DataFrame:
         # the absolute `ratio > 0` rule degenerates on small/odd
         # corpora (add-one smoothing can drag every score one side of
         # zero), so the gate keeps the above-corpus-mean half — the
-        # deterministic thresholded analogue.  One extra 1-row agg,
-        # broadcast back.
-        scores = dsir_scores(docs)
-        mu = scores.agg(F.avg("avg_logratio").alias("mu"))
+        # deterministic thresholded analogue.  The mean comparison is
+        # exact integer arithmetic (scores are 4dp -> micro-units as
+        # longs; a > mean(a)  <=>  a*n > sum(a)), so the gate cannot
+        # flip with partition layout the way an F.avg of doubles can
+        # (the repo's micro-unit discipline).
+        scores = dsir_scores(docs).withColumn(
+            "am", F.round(F.col("avg_logratio") * 10000.0, 0)
+            .cast("long"))
+        mu = scores.agg(F.sum("am").alias("sa"),
+                        F.count("*").alias("n"))
         keeps = (scores.crossJoin(F.broadcast(mu))
-                 .filter(F.col("avg_logratio") > F.col("mu")))
+                 .filter(F.col("am") * F.col("n") > F.col("sa")))
     else:
         raise ValueError(f"unknown model gate: {model!r}")
     return docs.join(keeps.select("doc_id"), "doc_id", "left_semi")

@@ -42,21 +42,12 @@ from engine.analytics import _SPARK_DOC_U, _SPARK_TOKS
 
 def mixture_rates(docs: DataFrame) -> DataFrame:
     """(source, weight) keep rates equalizing token mass across
-    sources — q_mixture_weights' policy as a reusable stage: a source
-    above its uniform share T/|sources| is downsampled to it, a
-    source at or below keeps weight 1.0."""
-    ntok = F.expr(f"size({_SPARK_TOKS})")
-    per = docs.groupBy("source").agg(F.sum(ntok).alias("n_tokens"))
-    tot = per.agg(F.sum("n_tokens").cast("double").alias("t"),
-                  F.count("*").alias("s"))
-    # a zero-token source: Spark's x/0 is NULL while DuckDB's is inf
-    # (-> LEAST 1.0); pin the DuckDB/oracle behavior explicitly so the
-    # engines can never diverge on a degenerate stratum
-    w = F.when(F.col("n_tokens") > 0,
-               F.least(F.lit(1.0),
-                       (F.col("t") / F.col("s")) / F.col("n_tokens")))         .otherwise(F.lit(1.0))
-    return (per.crossJoin(F.broadcast(tot))
-            .select("source", w.alias("weight")))
+    sources — delegates to engine/analytics.mixture_weight_table (ONE
+    policy definition shared with the q_mixture_weights driver query)
+    and keeps the UNROUNDED rate for sampling."""
+    from engine.analytics import mixture_weight_table
+
+    return mixture_weight_table(docs).select("source", "weight")
 
 
 def stratified_sample(docs: DataFrame, rates: DataFrame) -> DataFrame:

@@ -154,11 +154,12 @@ def test_model_quality_gate_matches_query_keeps(spark):
     assert gated_ids == keep_ids
     assert 0 < len(gated_ids) < docs.count()
 
-    # dsir gate keeps the above-corpus-mean half (see model_quality_gate)
-    scores = {r.doc_id: r.avg_logratio
-              for r in A.dsir_scores(docs).collect()}
-    mu = sum(scores.values()) / len(scores)
-    expect = {d for d, v in scores.items() if v > mu}
+    # dsir gate keeps the above-corpus-mean half, decided in exact
+    # integer micro-units (see model_quality_gate)
+    am = {r.doc_id: round(r.avg_logratio * 10000)
+          for r in A.dsir_scores(docs).collect()}
+    sa, n = sum(am.values()), len(am)
+    expect = {d for d, v in am.items() if v * n > sa}
     gated_ids = {r.doc_id for r in
                  model_quality_gate(docs, "dsir")
                  .select("doc_id").collect()}
