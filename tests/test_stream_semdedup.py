@@ -165,3 +165,49 @@ def test_compact_refuses_in_place_overwrite(spark, tmp_path):
     idx = str(tmp_path / "ann")
     with pytest.raises(ValueError):
         compact_semdedup_stream(spark, idx, str(tmp_path / "w"), idx)
+
+
+def test_second_epoch_streams_against_compacted_version(spark, tmp_path):
+    """Full serving lifecycle: v1 index → stream plants → compact to
+    v2 → stream a SECOND wave of near-dups against v2 with a fresh
+    work dir.  Each second-wave arrival must pair with the member the
+    compaction KEPT (whichever of original/plant survived), proving
+    the decision log really transferred into the new version."""
+    naturals, plants, off = _halves(spark)
+    idx = str(tmp_path / "ann")
+    work = str(tmp_path / "work")
+    out = str(tmp_path / "ann_v2")
+    work2 = str(tmp_path / "work2")
+    write_ann_index(naturals, idx, train_limit=A._IVF_TRAIN_LIMIT)
+    inp = str(tmp_path / "in")
+    _write_half(plants, inp)
+    q = stream_semdedup(spark, inp, idx, work, str(tmp_path / "cp"))
+    q.awaitTermination(120)
+
+    from engine.index import compact_semdedup_stream
+    compact_semdedup_stream(spark, idx, work, out)
+    kept = {r.vec_id for r in
+            spark.read.parquet(f"{out}/members").select("vec_id")
+            .collect()}
+
+    # second wave: a fresh near-identical copy of every ORIGINAL
+    # (second component +0.01 this time), ids above the plant space
+    wave2 = naturals.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 2 * off).alias("vec_id"),
+        F.expr("concat(slice(e, 1, 1), array(element_at(e, 2) + 0.01D),"
+               " slice(e, 3, 62))").alias("e"))
+    inp2 = str(tmp_path / "in2")
+    _write_half(wave2, inp2)
+    q = stream_semdedup(spark, inp2, out, work2, str(tmp_path / "cp2"))
+    q.awaitTermination(120)
+
+    pairs2 = _decided(spark, f"{work2}/pairs")
+    assert len(pairs2) == wave2.count()
+    for rid, kid, _cell in pairs2:
+        member = kid if kid < 2 * off else rid
+        arrival = rid if member == kid else kid
+        assert arrival >= 2 * off
+        # the matched member is one the compaction kept, and it is the
+        # survivor of the first wave's (original, plant) pair
+        assert member in kept
+        assert member % 10 == 0 or (member - off) % 10 == 0
