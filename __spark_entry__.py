@@ -64,31 +64,35 @@ def entry(spark: SparkSession) -> DataFrame:
 # long-green entries.  Keep newly-added queries at the top of this
 # list each round; demote them once a CORRECTNESS_r{N}.json row lands.
 _PRIORITY_FIRST = [
-    # new in r5 (no prior driver row can exist):
-    "lm2_perplexity_filter",
-    "semdedup_clusters",
-    "source_overlap_matrix",
-    "mixture_weights",
-    "top_ngrams",
-    "corpus_stats",
-    "dup_ngram_fraction",
-    "dsir_importance",
-    "semdedup",
-    "lm_perplexity_filter",
-    "tfidf_top_terms",
-    "corpus_shuffle",
-    "neardup_pairs_simhash128",
-    "sample_stratified",
-    "pack_token_budget",
-    # never driver-checked through r4 (judge-verified only):
-    "ann_ivf_sampled_topk",
-    "retention_cohorts",
-    "funnel_view_click_purchase",
-    "dedup_embedding_cosine",
-    "ann_ivf_topk",
-    "ann_ivf_recall",
-    "sessionize",
-    "embedding_norm_stats",
+    # new in r6 (no prior driver row can exist):
+    "dedup_substring",
+    "dedup_substring_cut",
+    # not covered by the driver's 50-row budget in r5 (all were green in
+    # r4 or earlier and judge-re-verified in r5; rotation gives each a
+    # fresh driver row at least every other round — VERDICT r5 item 2):
+    "dedup_clusters",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "simhash_hamming_candidates",
+    "dedup_simhash128",
+    "simhash128_hamming_candidates",
+    "multimodal_features",
+    "ann_cosine_topk",
+    "lang_id_heuristic",
+    "quality_score",
+    "token_count",
+    "doc_fingerprint",
+    "quality_signals",
+    "gopher_repetition",
+    "decontaminate_ngram",
+    "dedup_span_exact",
+    "url_domain_stats",
+    "pii_scrub",
+    "cleaning_pass",
+    "fingerprint_winnowing",
+    "winnowing_overlap",
+    "ann_lsh_top1",
+    "ann_recall_report",
 ]
 
 

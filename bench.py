@@ -71,6 +71,15 @@ def _transcripts_from_documents(spark, sf_dir: str, partitions: int):
     ).repartition(partitions)
 
 
+def _loadavg() -> list[float]:
+    """[1-min, 5-min] host loadavg — stamped into the bench JSON so a
+    driver-run number taken mid-co-tenant-burst is attributable to load
+    rather than a regression (VERDICT r5 item 3)."""
+    with open("/proc/loadavg") as f:
+        parts = f.read().split()
+    return [float(parts[0]), float(parts[1])]
+
+
 def run_suite(sf_dir: str, cpus: int) -> dict:
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -87,6 +96,7 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
                       shuffle_partitions=cpus * 2)
     spark.sparkContext.setLogLevel("ERROR")
 
+    load_start = _loadavg()
     timings: dict = {}
 
     # headline: extraction pipeline (synth → extract → order → count)
@@ -125,7 +135,8 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         "dedup_clusters", "minhash_estimate_report", "dedup_ngram_jaccard",
         "dedup_simhash", "simhash_hamming_candidates",
         "simhash128_hamming_candidates",
-        "dedup_embedding_cosine", "dedup_span_exact",
+        "dedup_embedding_cosine", "dedup_span_exact", "dedup_substring",
+        "dedup_substring_cut",
         "ann_cosine_topk", "ann_lsh_top1",
         "ann_ivf_topk", "ann_ivf_sampled_topk", "winnowing_overlap",
         "decontaminate_ngram", "gopher_repetition",
@@ -180,7 +191,38 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         "turns": n_turns,
         "rows_out": n_out,
         "turns_per_sec": round(n_turns / extract_sec, 1),
+        "load_start": load_start,
+        "load_end": _loadavg(),
     }
+
+
+def emit(result: dict) -> None:
+    """Output contract (VERDICT r5 item 1: BENCH_r05 had parsed:null —
+    the single JSON line outgrew the driver's fixed-size tail capture).
+
+    Three-part contract, robust to head- or tail-anchored capture:
+      1. a SHORT headline JSON object first (fits any capture window),
+      2. the full result written to BENCH/last_run.json,
+      3. the contract line LAST — the full result minus the bulky
+         warmup_sec dict, compact separators, ~1.5 KB for the 40-query
+         suite (r5's capture kept ~2.9 KB, so this fits whole).
+    """
+    headline = {k: result.get(k) for k in
+                ("metric", "value", "unit", "turns_per_sec", "sf",
+                 "cpus", "load_start", "load_end")}
+    headline["full_json"] = "BENCH/last_run.json"
+    print(json.dumps(headline, separators=(",", ":")))
+    if not os.environ.get("SPARK_GRAFT_SCALING_ONLY"):
+        # scaling-mode subprocesses must not clobber the full-suite
+        # record with their extract-only sample
+        os.makedirs(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH"), exist_ok=True)
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH", "last_run.json"), "w") as f:
+            json.dump(result, f, indent=1)
+    slim = {k: v for k, v in result.items() if k != "warmup_sec"}
+    print(json.dumps(slim, separators=(",", ":")))
 
 
 _KERNEL_CONTROL = r"""
@@ -369,4 +411,4 @@ if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling(SF_DIR)
     else:
-        print(json.dumps(run_suite(SF_DIR, CPUS)))
+        emit(run_suite(SF_DIR, CPUS))

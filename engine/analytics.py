@@ -1753,6 +1753,280 @@ def q_dedup_span_exact(spark, sf_dir):
                        .otherwise(1)).alias("n_dup_spans")))
 
 
+_SUBSTR_L = 20  # minimum repeated-substring length (tokens)
+
+_DUCK_SUBSTR_DEDUP = f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+), wins AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS pos, u.w AS w
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(0, len(t) - {_SUBSTR_L} + 1),
+             i -> {{'i': i, 'w': array_to_string(
+                     list_slice(t, i + 1, i + {_SUBSTR_L}), ' ')}})) AS u
+    FROM toks WHERE len(t) >= {_SUBSTR_L})
+), dupw AS (
+  SELECT w FROM wins GROUP BY w HAVING COUNT(*) >= 2
+), starts AS (
+  SELECT doc_id, pos FROM wins WHERE w IN (SELECT w FROM dupw)
+), flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id
+                                        ORDER BY pos) <= {_SUBSTR_L}
+              THEN 0 ELSE 1 END AS brk
+  FROM starts
+), grp AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS g
+  FROM flagged
+)
+SELECT doc_id, MIN(pos) AS span_start,
+       MAX(pos) + {_SUBSTR_L} - MIN(pos) AS span_len
+FROM grp GROUP BY doc_id, g
+"""
+
+
+def _substring_window_keys(min_len: int) -> str:
+    """SQL expression: for a token array ``t``, the array of 64-bit
+    equality keys of every ``min_len``-token window, built by PREFIX
+    DOUBLING entirely in array land.
+
+    The classic suffix-array prefix doubling is O(log n) distributed
+    (sort, rank) rounds — but a substring never crosses a DOCUMENT
+    boundary, so the doubling needs no cross-row data at all: each
+    round combines a document's own rank array with itself at offset
+    2^k (rk_{{2w}}[i] = h(rk_w[i], rk_w[i+w])), one array transform per
+    round, fused by Catalyst into a single projection.  log2(min_len)
+    rounds replace the O(n·L) cost of hashing each window's text
+    (dedup_span_exact's shape, which is why it pins a fixed stride)
+    with O(n·log L) — the property that makes stride-1 windows
+    affordable, which is what catches repeats at ARBITRARY offsets.
+    The final key pair-combines the largest power-of-two rank with
+    itself at offset L−2^m (two overlapping windows determine the
+    L-window).  Keys are equality-preserving, not order-preserving —
+    duplicate detection needs only equivalence classes, so no global
+    sort/rank shuffle ever happens.
+
+    Every intermediate binds through the element_at(transform(array(…
+    trick so CollapseProject cannot inline the previous round's array
+    into each use site (the house discipline from _lsh_bands)."""
+    expr = "transform(t, x -> xxhash64(x))"
+    w = 1
+    while w * 2 <= min_len:
+        expr = (f"element_at(transform(array({expr}), r -> "
+                f"transform(sequence(1, size(r) - {w}), i -> "
+                f"xxhash64(element_at(r, i), element_at(r, i + {w})))), 1)")
+        w *= 2
+    off = min_len - w
+    if off:
+        expr = (f"element_at(transform(array({expr}), r -> "
+                f"transform(sequence(1, size(r) - {off}), i -> "
+                f"xxhash64(element_at(r, i), element_at(r, i + {off})))), 1)")
+    return expr
+
+
+def _substring_dup_starts(docs, min_len: int):
+    """Shared first half of the substring-dedup family: (toks, starts)
+    where ``toks`` is the persisted (doc_id, t) token frame and
+    ``starts`` = (doc_id, pos, wtxt) — every EXACT-VERIFIED start of a
+    duplicated ``min_len``-token window (see substring_dedup_spans for
+    the plan-shape discussion)."""
+    spark = docs.sparkSession
+    toks = (docs
+            .repartition(spark.sparkContext.defaultParallelism)
+            .select("doc_id", F.expr(_SPARK_TOKS).alias("t"))
+            .filter(F.expr(f"size(t) >= {min_len}"))
+            .persist())
+    keys = toks.select(
+        "doc_id",
+        F.posexplode(F.expr(_substring_window_keys(min_len)))
+        .alias("pos", "wk")).select(
+            "doc_id", F.col("pos").cast("long").alias("pos"), "wk")
+    dup_keys = (keys.groupBy("wk").agg(F.count("*").alias("n"))
+                .filter(F.col("n") >= 2).select("wk"))
+    cand = keys.join(dup_keys, "wk", "left_semi")
+    # exact verify on candidates only: a hash collision must not
+    # surface a span the oracle (which compares real text) won't have
+    cand_txt = (cand.join(toks, "doc_id")
+                .select("doc_id", "pos",
+                        F.expr(f"array_join(slice(t, cast(pos as int) + 1, "
+                               f"{min_len}), ' ')").alias("wtxt")))
+    true_w = (cand_txt.groupBy("wtxt").agg(F.count("*").alias("n"))
+              .filter(F.col("n") >= 2).select("wtxt"))
+    starts = cand_txt.join(true_w, "wtxt", "left_semi")
+    return toks, starts
+
+
+def substring_dedup_spans(docs, min_len: int = _SUBSTR_L):
+    """Arbitrary-offset repeated-substring spans (VERDICT r5 item 4 —
+    the Lee et al. generalization of the fixed-20-token
+    dedup_span_exact): per document, the MAXIMAL spans of token
+    positions covered by some substring of >= ``min_len`` tokens that
+    occurs >= 2 times in the corpus (any offset, any document,
+    self-repeats included).  Returns (doc_id, span_start, span_len),
+    0-based token positions — exactly the spans a substring-rewriting
+    cleaner cuts.
+
+    Coverage equivalence (what makes a brute-force oracle possible):
+    a position is covered by a maximal >=L-token repeat iff it is
+    covered by a duplicated stride-1 L-token window, so merged
+    duplicated-window runs ARE the maximal repeated spans.  Fixed
+    non-overlapping windows (dedup_span_exact) miss a long repeat
+    lying across their grid; stride-1 windows cannot.
+
+    Plan shape: one scan (the doubling is a single fused projection —
+    _substring_window_keys), one explode, ONE corpus-wide shuffle (the
+    window-key count), an exact verify confined to candidate
+    positions, and a per-document islands merge.  Scale: rows into the
+    shuffle are (doc_id, pos, key) longs; 64-bit key collisions at
+    10^12 positions would seed false candidates, but candidates are
+    re-verified on their actual window TEXT (count >= 2 over the
+    candidate windows only — the verify-on-candidates discipline of
+    the MinHash family), so collisions cost duplicate-side work, never
+    correctness."""
+    _toks, starts = _substring_dup_starts(docs, min_len)
+    starts = starts.select("doc_id", "pos")
+    # islands merge: runs of starts with gap <= L give one covered span
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(F.col("pos") - F.lag("pos").over(w_doc)
+                 <= F.lit(min_len), 0).otherwise(1)
+    g = F.sum("brk").over(
+        w_doc.rowsBetween(Window.unboundedPreceding, 0))
+    return (starts.withColumn("brk", brk).withColumn("g", g)
+            .groupBy("doc_id", "g")
+            .agg(F.min("pos").alias("span_start"),
+                 (F.max("pos") + min_len - F.min("pos")).alias("span_len"))
+            .select("doc_id", "span_start", "span_len"))
+
+
+_DUCK_SUBSTR_CUT = f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+), wins AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS pos, u.w AS w
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(0, len(t) - {_SUBSTR_L} + 1),
+             i -> {{'i': i, 'w': array_to_string(
+                     list_slice(t, i + 1, i + {_SUBSTR_L}), ' ')}})) AS u
+    FROM toks WHERE len(t) >= {_SUBSTR_L})
+), dupw AS (
+  SELECT w FROM wins GROUP BY w HAVING COUNT(*) >= 2
+), starts AS (
+  SELECT doc_id, pos, w FROM wins WHERE w IN (SELECT w FROM dupw)
+), keep AS (
+  SELECT w, MIN(ROW(doc_id, pos)) AS k FROM starts GROUP BY w
+), s2 AS (
+  SELECT s.doc_id, s.pos,
+         (ROW(s.doc_id, s.pos) = k.k) AS is_keep
+  FROM starts s JOIN keep k ON k.w = s.w
+), cover AS (
+  SELECT doc_id, unnest(range(pos, pos + {_SUBSTR_L})) AS p, is_keep
+  FROM s2
+), protected AS (
+  SELECT DISTINCT doc_id, p FROM cover WHERE is_keep
+), cutc AS (
+  SELECT DISTINCT doc_id, p FROM cover WHERE NOT is_keep
+), cut AS (
+  SELECT c.doc_id, c.p FROM cutc c
+  ANTI JOIN protected pr ON pr.doc_id = c.doc_id AND pr.p = c.p
+), cuts AS (
+  SELECT doc_id, list(p) AS c FROM cut GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(len(cu.c), 0) AS BIGINT) AS n_cut,
+       md5(COALESCE(array_to_string(
+         list_filter(
+           list_transform(range(1, len(t.t) + 1),
+             i -> CASE WHEN list_contains(COALESCE(cu.c, []), i - 1)
+                       THEN NULL ELSE t.t[i] END),
+           x -> x IS NOT NULL), ' '), '')) AS text_md5
+FROM toks t LEFT JOIN cuts cu ON cu.doc_id = t.doc_id
+"""
+
+
+def substring_cut(docs, min_len: int = _SUBSTR_L):
+    """The REWRITE action of Lee et al.'s ExactSubstr dedup: remove
+    every duplicated >= ``min_len``-token window occurrence EXCEPT its
+    canonical one (global min (doc_id, pos) per window text — the same
+    first-occurrence-keeper idiom as dedup_span_exact), position-wise:
+    a token position is cut iff it is covered by some non-canonical
+    duplicated-window occurrence and NOT covered by any canonical one
+    (overlap protection — a keeper's text always survives intact, so
+    every duplicated substring still exists exactly once).
+
+    Returns (doc_id, n_tokens, n_cut, text_md5) for EVERY document
+    (unaffected docs report n_cut = 0), text_md5 = md5 of the
+    rewritten space-joined token stream — the value-hash evidence that
+    both engines rebuilt identical text.
+
+    Scale shape: everything through the verified starts is
+    _substring_dup_starts (one shuffle + candidate-only verify); the
+    position explosion is confined to DUPLICATED regions (tiny vs the
+    corpus); the cut sets ride a per-doc collect_set whose size is
+    bounded by the doc's own length; the rebuild is one row-local
+    indexed array filter."""
+    spark = docs.sparkSession
+    # the final frame covers EVERY document (short docs report
+    # n_cut = 0 with their own text hash); _substring_dup_starts'
+    # internal toks frame is length-filtered, so build the full one
+    all_toks = (docs
+                .repartition(spark.sparkContext.defaultParallelism)
+                .select("doc_id", F.expr(_SPARK_TOKS).alias("t")))
+    _toks, starts = _substring_dup_starts(docs, min_len)
+    keep = starts.groupBy("wtxt").agg(
+        F.min(F.struct("doc_id", "pos")).alias("k"))
+    s2 = (starts.join(keep, "wtxt")
+          .select("doc_id", "pos",
+                  ((F.col("k.doc_id") == F.col("doc_id"))
+                   & (F.col("k.pos") == F.col("pos"))).alias("is_keep")))
+    cover = s2.select(
+        "doc_id", "is_keep",
+        F.explode(F.expr(
+            f"sequence(pos, pos + {min_len} - 1)")).alias("p"))
+    protected = (cover.filter("is_keep")
+                 .select("doc_id", "p").distinct())
+    cut = (cover.filter(~F.col("is_keep"))
+           .select("doc_id", "p").distinct()
+           .join(protected, ["doc_id", "p"], "left_anti"))
+    cuts = cut.groupBy("doc_id").agg(F.collect_set("p").alias("c"))
+    rebuilt = (
+        "array_join(filter(transform(t, (x, i) -> "
+        "IF(array_contains(c, cast(i as bigint)), null, x)), "
+        "x -> x is not null), ' ')")
+    return (all_toks.join(cuts, "doc_id", "left")
+            .withColumn("c", F.coalesce(
+                "c", F.expr("array()").cast("array<bigint>")))
+            .select("doc_id",
+                    F.size("t").cast("long").alias("n_tokens"),
+                    F.size("c").cast("long").alias("n_cut"),
+                    F.md5(F.expr(rebuilt).cast("binary"))
+                    .alias("text_md5")))
+
+
+@register("dedup_substring_cut", _DUCK_SUBSTR_CUT)
+def q_dedup_substring_cut(spark, sf_dir):
+    """Driver query: substring_cut over the documents table.  NOTE the
+    oracle universe: docs shorter than the minimum window length never
+    enter `wins` but still report (n_cut = 0, their own text hash) —
+    both engines read the full documents table for the final frame."""
+    return substring_cut(_t(spark, sf_dir, "documents"))
+
+
+@register("dedup_substring", _DUCK_SUBSTR_DEDUP)
+def q_dedup_substring(spark, sf_dir):
+    """Driver query: substring_dedup_spans over the documents table at
+    the default minimum length (20 tokens).  The DuckDB oracle is the
+    brute-force form — every stride-1 window's literal text, grouped
+    and merged with gaps-and-islands SQL — feasible at oracle scale,
+    which is exactly why the Spark side needs the prefix-doubling
+    keys + candidate-only verify instead."""
+    return substring_dedup_spans(_t(spark, sf_dir, "documents"))
+
+
 # URL regex restricted (like the PII regexes below) to the
 # Java-regex/RE2-identical subset.
 _URL_RE = r"https?://[A-Za-z0-9.-]+(/[A-Za-z0-9._/-]*)?"
@@ -3666,11 +3940,16 @@ def q_semdedup_clusters(spark, sf_dir):
             .select(F.col("doc_id").alias("vec_id"), "cluster_id"))
 
 
-# interpolated bigram LM: p(w | prev) = 3/4 * c2/c1(prev) + 1/4 * c1(w)/T
-# == (3*c2*T + c1w*c1p) / (4*c1p*T) — ONE exact-integer ratio, so the
-# only float op is a single log2 of BIGINT-exact operands (identical in
-# both engines; products stay < 2^53 well past sf0.1 — at larger
-# corpora rescale counts or split the log, documented below)
+# interpolated bigram LM: p(w | prev) = 3/4 * c2/c1(prev) + 1/4 * c1(w)/T,
+# evaluated EXACTLY in that two-ratio form: each operand is a raw BIGINT
+# count (< 2^53 even at 10^12-turn corpora), each ratio is ONE correctly-
+# rounded IEEE division, and the 0.75/0.25 weights are exact binary
+# fractions — so the double fed to log2 is bit-identical in both engines
+# with NO count product anywhere.  (r5 used the single-fraction form
+# (3*c2*T + c1w*c1p) / (4*c1p*T), whose c2*T product ceilings at 2^53 —
+# and overflows int64 outright — once T reaches web-corpus token counts;
+# VERDICT r5 item 5.  tests/test_curation_ops.py pins the huge-count
+# case.)
 _LM2_KEEP_BITS = 4.94  # bits/token ceiling (~p85 of the synthetic corpus)
 
 _DUCK_LM2 = f"""
@@ -3690,9 +3969,10 @@ bg AS (
   SELECT bgs, COUNT(*) AS c2 FROM bg GROUP BY bgs
 ), bg_contrib AS (
   SELECT b.doc_id,
-         CAST(ROUND((log2(CAST(3 * k.c2 * tot.tt
-                               + uw.c * up.c AS DOUBLE))
-                     - log2(CAST(4 * up.c * tot.tt AS DOUBLE)))
+         CAST(ROUND(log2(0.75 * (CAST(k.c2 AS DOUBLE)
+                                 / CAST(up.c AS DOUBLE))
+                         + 0.25 * (CAST(uw.c AS DOUBLE)
+                                   / CAST(tot.tt AS DOUBLE)))
                     * 1000000) AS BIGINT) AS lg
   FROM bg b
   JOIN bgc k ON k.bgs = b.bgs
@@ -3730,12 +4010,13 @@ def q_lm2_perplexity_filter(spark, sf_dir):
     scores HIGH even when its unigram profile looks fine — the signal
     the unigram filter cannot see.
 
-    Cross-engine exactness: the interpolation is ONE exact-integer
-    ratio (3·c2·T + c1w·c1p) / (4·c1p·T), so the only float op is a
-    single log2 over BIGINT-exact operands before the usual micro-bit
-    quantization; products stay < 2^53 well past sf0.1 (at 100 TB,
-    rescale counts or split the log into log2(num)-log2(den) of
-    per-factor sums).
+    Cross-engine exactness: the interpolation is evaluated as the
+    two-ratio form 0.75·(c2/c1p) + 0.25·(c1w/T) — every operand a raw
+    BIGINT count (< 2^53 at any real corpus size), every float op a
+    correctly-rounded IEEE double op in a fixed order spelled
+    identically in both engines, then the usual micro-bit
+    quantization.  No count product exists to overflow — the form
+    survives 10^12-turn token totals (see _lm2_bigram_lg).
 
     Scale shape: one bigram groupBy + one unigram groupBy (both
     combinable), then the scoring joins key on the bigram / token —
@@ -3743,6 +4024,23 @@ def q_lm2_perplexity_filter(spark, sf_dir):
     bigrams fold to the backoff term, exactly like the unigram
     filter's vocabulary note."""
     return lm2_scores(_t(spark, sf_dir, "documents"))
+
+
+def _lm2_bigram_lg(c2, cp, cw, tt):
+    """Micro-bit log2 of the interpolated bigram probability as a
+    Column: log2(0.75·(c2/cp) + 0.25·(cw/tt))·1e6, rounded to long.
+
+    The two-ratio form is the 100-TB-safe one (VERDICT r5 item 5):
+    every operand is a raw count (< 2^53 for any real corpus), each
+    division/multiply/add is one correctly-rounded IEEE double op in a
+    fixed order, so the value — and the DuckDB oracle's, which spells
+    the identical expression — is bit-deterministic with NO count
+    product to overflow (the r5 single-fraction form's 3·c2·T hits
+    2^53 exactness loss, then int64 overflow, at web-scale T;
+    pinned in tests/test_curation_ops.py)."""
+    p = (F.lit(0.75) * (c2.cast("double") / cp.cast("double"))
+         + F.lit(0.25) * (cw.cast("double") / tt.cast("double")))
+    return F.round(F.log2(p) * 1000000.0, 0).cast("long")
 
 
 def lm2_scores(docs):
@@ -3783,13 +4081,10 @@ def lm2_scores(docs):
     bg_contrib = (bg.join(bgc, "h2")
                   .join(up, "hp").join(uw, "hw")
                   .crossJoin(F.broadcast(tot))
-                  .select("doc_id", F.round(
-                      (F.log2((3 * F.col("c2") * F.col("tt")
-                               + F.col("cw") * F.col("cp"))
-                              .cast("double"))
-                       - F.log2((4 * F.col("cp") * F.col("tt"))
-                                .cast("double"))) * 1000000.0, 0)
-                      .cast("long").alias("lg")))
+                  .select("doc_id",
+                          _lm2_bigram_lg(F.col("c2"), F.col("cp"),
+                                         F.col("cw"), F.col("tt"))
+                          .alias("lg")))
     first = (base.select(
         "doc_id",
         F.expr(h_of.format(x="element_at(t, 1)")).alias("h1"))

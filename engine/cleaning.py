@@ -2,7 +2,8 @@
 analytics operators exist for, chained into ONE pipeline —
 
     quality gates (C4 + language) → exact dedup → MinHash near-dup
-    removal → PII scrub → cleaned corpus + per-stage metrics.
+    removal → [SemDeDup semantic dedup] → PII scrub → cleaned corpus
+    + per-stage metrics.
 
 Stage semantics are the driver-checked queries' semantics
 (engine/analytics.py): the gates are the ``cleaning_pass`` gates, the
@@ -111,19 +112,24 @@ def model_quality_gate(docs: DataFrame, model: str) -> DataFrame:
         # DSIR proper RESAMPLES by importance weight; as a hard gate
         # the absolute `ratio > 0` rule degenerates on small/odd
         # corpora (add-one smoothing can drag every score one side of
-        # zero), so the gate keeps the above-corpus-mean half — the
-        # deterministic thresholded analogue.  The mean comparison is
-        # exact integer arithmetic (scores are 4dp -> micro-units as
-        # longs; a > mean(a)  <=>  a*n > sum(a)), so the gate cannot
-        # flip with partition layout the way an F.avg of doubles can
-        # (the repo's micro-unit discipline).
+        # zero), so the gate keeps the at-or-above-corpus-mean half —
+        # the deterministic thresholded analogue.  The mean comparison
+        # is exact integer arithmetic (scores are 4dp -> micro-units
+        # as longs; a >= mean(a)  <=>  a*n >= sum(a)), so the gate
+        # cannot flip with partition layout the way an F.avg of
+        # doubles can (the repo's micro-unit discipline).  >= not >
+        # (ADVICE r5): on a degenerate corpus where every document
+        # scores identically (all-identical docs, single hash-uniform
+        # source) every score EQUALS the mean — strict > would drop
+        # 100% of documents; >= keeps them all, the only sensible
+        # gate outcome when the model cannot rank anything.
         scores = dsir_scores(docs).withColumn(
             "am", F.round(F.col("avg_logratio") * 10000.0, 0)
             .cast("long"))
         mu = scores.agg(F.sum("am").alias("sa"),
                         F.count("*").alias("n"))
         keeps = (scores.crossJoin(F.broadcast(mu))
-                 .filter(F.col("am") * F.col("n") > F.col("sa")))
+                 .filter(F.col("am") * F.col("n") >= F.col("sa")))
     else:
         raise ValueError(f"unknown model gate: {model!r}")
     return docs.join(keeps.select("doc_id"), "doc_id", "left_semi")
@@ -195,6 +201,50 @@ def neardup_removal(docs: DataFrame, policy: str = "pairwise",
     return docs.join(drop, "doc_id", "left_anti")
 
 
+def semantic_dedup_removal(docs: DataFrame, emb: DataFrame,
+                           policy: str = "clusters") -> DataFrame:
+    """SemDeDup as a batch-job stage (VERDICT r5 item 6): drop
+    semantic duplicates of ``docs`` using the embedding frame ``emb``
+    (vec_id == doc_id, e: array<double> — the serving layout of
+    engine/index.write_ann_index).  Embeddings are restricted to the
+    documents still alive at this stage (left semi), so earlier gates
+    never resurrect through the semantic pass, and documents WITHOUT
+    an embedding pass through untouched (no embedding → no evidence).
+
+    ``policy="clusters"`` (default — mirrors neardup_removal's
+    clusters policy): semantic-duplicate components are resolved with
+    the shared min-id connected components and exactly ONE document
+    per component survives (the smallest doc_id — the same canonical
+    keeper as token-level cluster dedup; within a single PAIR
+    SemDeDup's farthest-from-centroid rule decides which side is the
+    `removed_id`, but a transitive component needs one canonical
+    survivor and the min-id rule keeps the two dedup families
+    consistent).  ``policy="pairwise"`` is the paper's per-pair rule
+    verbatim: drop every `removed_id` (closer-to-centroid member);
+    like token pairwise it can keep >1 member of a chain.
+
+    Scale shape: semdedup_pairs confines the quadratic inside k-means
+    cells (k ∝ n at scale), the components table is duplicates-only,
+    and the final drop is an anti-join with the small removal set as
+    the build side — same as neardup_removal."""
+    from engine.analytics import semdedup_pairs
+
+    emb_alive = emb.join(docs.select(F.col("doc_id").alias("vec_id")),
+                         "vec_id", "left_semi")
+    pairs = semdedup_pairs(emb_alive)
+    if policy == "clusters":
+        drop = (_connected_components(
+                    pairs.select(F.col("removed_id").alias("doc_a"),
+                                 F.col("keeper_id").alias("doc_b")))
+                .filter(F.col("doc_id") != F.col("cluster_id"))
+                .select("doc_id"))
+    elif policy == "pairwise":
+        drop = pairs.select(F.col("removed_id").alias("doc_id")).distinct()
+    else:
+        raise ValueError(f"unknown semantic-dedup policy: {policy!r}")
+    return docs.join(drop, "doc_id", "left_anti")
+
+
 def pii_scrub_text(docs: DataFrame) -> DataFrame:
     """Redact emails/phones in place; adds n_redactions."""
     n_red = (F.size(F.regexp_extract_all(F.col("text"), F.lit(_PII_EMAIL),
@@ -211,7 +261,9 @@ def pii_scrub_text(docs: DataFrame) -> DataFrame:
 def cleaning_stages(docs: DataFrame, neardup_policy: str = "pairwise",
                     gopher_gate: bool = False,
                     sketch: str = "minhash",
-                    model_gate: str = None) -> dict:
+                    model_gate: str = None,
+                    semantic_dedup: DataFrame = None,
+                    semantic_policy: str = "clusters") -> dict:
     """The job's stage DataFrames, each boundary PERSISTED.
 
     Every stage output is referenced more than once downstream (exact
@@ -233,9 +285,16 @@ def cleaning_stages(docs: DataFrame, neardup_policy: str = "pairwise",
     exact = exact_dedup(gated).persist()
     survivors = neardup_removal(exact, policy=neardup_policy,
                                 sketch=sketch).persist()
-    cleaned = pii_scrub_text(survivors)
-    return {"gated": gated, "exact": exact, "survivors": survivors,
-            "cleaned": cleaned}
+    stages = {"gated": gated, "exact": exact, "survivors": survivors}
+    final = survivors
+    if semantic_dedup is not None:
+        # fourth gate: token-level near-dup first (cheap sketches
+        # shrink the corpus), THEN the embedding pass over what's left
+        final = semantic_dedup_removal(survivors, semantic_dedup,
+                                       policy=semantic_policy).persist()
+        stages["semantic"] = final
+    stages["cleaned"] = pii_scrub_text(final)
+    return stages
 
 
 def run_cleaning_job(spark: SparkSession, input_path: str,
@@ -243,7 +302,9 @@ def run_cleaning_job(spark: SparkSession, input_path: str,
                      neardup_policy: str = "pairwise",
                      gopher_gate: bool = False,
                      sketch: str = "minhash",
-                     model_gate: str = None) -> dict:
+                     model_gate: str = None,
+                     embeddings_path: str = None,
+                     semantic_policy: str = "clusters") -> dict:
     """documents parquet in → cleaned corpus parquet out, one JSON-able
     metrics dict back (per-stage survivor counts reconcile the run the
     way the extraction pipeline's lineage rows do).
@@ -258,9 +319,16 @@ def run_cleaning_job(spark: SparkSession, input_path: str,
 
     t0 = time.time()
     docs = spark.read.parquet(input_path)
+    emb = None
+    if embeddings_path is not None:
+        from engine.analytics import _lsh_embeddings
+        emb = (_lsh_embeddings(spark.read.parquet(embeddings_path))
+               .select("vec_id", "e"))
     stages = cleaning_stages(docs, neardup_policy=neardup_policy,
                              gopher_gate=gopher_gate, sketch=sketch,
-                             model_gate=model_gate)
+                             model_gate=model_gate,
+                             semantic_dedup=emb,
+                             semantic_policy=semantic_policy)
     obs = Observation()
     cleaned = stages["cleaned"].observe(
         obs, F.count(F.lit(1)).alias("rows_out"),
@@ -272,10 +340,15 @@ def run_cleaning_job(spark: SparkSession, input_path: str,
         "after_quality_language": stages["gated"].count(),
         "after_exact_dedup": stages["exact"].count(),
         "after_neardup_removal": stages["survivors"].count(),
+    }
+    if "semantic" in stages:
+        metrics["after_semantic_dedup"] = stages["semantic"].count()
+    metrics.update({
         "rows_out": int(out_metrics["rows_out"]),
         "pii_redactions": int(out_metrics["pii_redactions"]),
         "wall_sec": round(time.time() - t0, 3),
-    }
-    for name in ("gated", "exact", "survivors"):
-        stages[name].unpersist()
+    })
+    for name in ("gated", "exact", "survivors", "semantic"):
+        if name in stages:
+            stages[name].unpersist()
     return metrics

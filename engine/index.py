@@ -161,6 +161,14 @@ def write_ann_index(emb: DataFrame, path: str,
     (emb.join(assign, "vec_id")
      .write.mode("overwrite").partitionBy("cell")
      .parquet(f"{path}/members"))
+    # per-cell occupancy sidecar (k rows — driver-sized, like the
+    # centroid table): append_to_ann_index's skew advisory reads THIS
+    # instead of re-aggregating the whole members tree per append
+    # (ADVICE r5: that was an O(corpus) scan defeating the point of an
+    # incremental append)
+    (assign.groupBy("cell").agg(F.count("*").alias("n"))
+     .coalesce(1).write.mode("overwrite")
+     .parquet(f"{path}/cell_counts"))
 
 
 def append_to_ann_index(new_emb: DataFrame, path: str,
@@ -177,12 +185,20 @@ def append_to_ann_index(new_emb: DataFrame, path: str,
     under a frozen quantizer slowly skew cell sizes as the data
     distribution drifts (a hot cell degrades probe cost toward a
     corpus scan), so the append measures max-cell/mean-cell occupancy
-    from the members' partition column (a column-stats-cheap count)
     and advises a retrain (``write_ann_index`` from scratch — train/
-    serve split, done offline) once it passes ``skew_bound``.  The
-    append itself is a plain parquet append — pair it with the
-    caller's exactly-once machinery (lineage buckets / per-batch dirs)
-    if replays are possible."""
+    serve split, done offline) once it passes ``skew_bound``.
+
+    Occupancy comes from the ``cell_counts`` SIDECAR (k rows,
+    maintained by merging the APPENDED BATCH's per-cell counts into
+    the previous sidecar — work proportional to the batch + k, never
+    to the corpus; ADVICE r5 flagged the previous full
+    members-tree re-aggregation as an O(corpus) scan per append).  An
+    index written before the sidecar existed pays ONE full count to
+    bootstrap it, then never again.  The append itself is a plain
+    parquet append — pair it with the caller's exactly-once machinery
+    (lineage buckets / per-batch dirs) if replays are possible."""
+    import os as _os
+
     spark = new_emb.sparkSession
     from engine.analytics import _ivf_assign
 
@@ -194,15 +210,37 @@ def append_to_ann_index(new_emb: DataFrame, path: str,
     appended.write.mode("append").partitionBy("cell") \
         .parquet(f"{path}/members")
     n_appended = appended.count()
+    batch_counts = {r.cell: r.n for r in
+                    (appended.groupBy("cell")
+                     .agg(F.count("*").alias("n")).collect())}
     appended.unpersist()
 
-    sizes = (spark.read.parquet(f"{path}/members")
-             .groupBy("cell").count().collect())
-    counts = [r["count"] for r in sizes]
-    mean = sum(counts) / max(len(counts), 1)
-    skew = (max(counts) / mean) if mean else 0.0
+    # merge driver-side: both sides are k-row metadata (the same scale
+    # as the collected centroid table above), and collect-then-rewrite
+    # avoids Spark's read-while-overwriting-the-same-path hazard
+    counts: dict = {}
+    if _os.path.isdir(f"{path}/cell_counts"):
+        counts = {r.cell: r.n for r in
+                  spark.read.parquet(f"{path}/cell_counts").collect()}
+    else:  # pre-sidecar index: bootstrap once from the members tree
+        counts = {r.cell: r.n for r in
+                  (spark.read.parquet(f"{path}/members")
+                   .groupBy("cell").agg(F.count("*").alias("n"))
+                   .collect())
+                  }
+        for c, n in batch_counts.items():  # members already include
+            counts[c] = counts.get(c, 0) - n  # the appended batch
+    for c, n in batch_counts.items():
+        counts[c] = counts.get(c, 0) + n
+    (spark.createDataFrame(sorted(counts.items()), "cell long, n long")
+     .coalesce(1).write.mode("overwrite")
+     .parquet(f"{path}/cell_counts"))
+
+    vals = list(counts.values())
+    mean = sum(vals) / max(len(vals), 1)
+    skew = (max(vals) / mean) if mean else 0.0
     return {"appended": n_appended,
-            "cells": len(counts),
+            "cells": len(vals),
             "max_over_mean": round(skew, 3),
             "retrain_advised": skew > skew_bound}
 
@@ -314,6 +352,12 @@ def compact_semdedup_stream(spark: SparkSession, ann_index_path: str,
     cent.write.mode("overwrite").parquet(f"{out_index_path}/centroids")
     members.write.mode("overwrite").partitionBy("cell") \
         .parquet(f"{out_index_path}/members")
-    stats["n_out"] = spark.read.parquet(
-        f"{out_index_path}/members").count()
+    # fresh occupancy sidecar for the new version (the compaction
+    # already rewrites every member row, so one aggregation here is
+    # free relative to the rewrite; future appends stay O(batch + k))
+    out_members = spark.read.parquet(f"{out_index_path}/members")
+    (out_members.groupBy("cell").agg(F.count("*").alias("n"))
+     .coalesce(1).write.mode("overwrite")
+     .parquet(f"{out_index_path}/cell_counts"))
+    stats["n_out"] = out_members.count()
     return stats

@@ -141,11 +141,37 @@ def _folded_batches(spark: SparkSession, table: str) -> list:
     from the table itself (single source of truth: no side marker file
     whose crash-window staleness could double-count a batch).  The
     collect is driver-sized metadata (one id per micro-batch ever
-    compacted)."""
+    compacted).
+
+    A table WITHOUT the ``batch`` provenance column cannot answer
+    "which batches are already folded", so the tail union would stack
+    every per-batch dir on top of already-folded rows — double-counted
+    shingles, inflated Jaccard (ADVICE r5).  Refuse loudly instead of
+    guessing: re-run compact_stream_index (it always writes the
+    column) and resume."""
     tbl = spark.table(table)
     if "batch" not in tbl.columns:
-        return []
+        raise ValueError(
+            f"bucketed index table {table!r} has no 'batch' column, so "
+            "already-folded batches cannot be excluded from the "
+            "per-batch tail (rows would be read twice). Re-run "
+            "compact_stream_index to rebuild the table with batch "
+            "provenance.")
     return [r.batch for r in tbl.select("batch").distinct().collect()]
+
+
+def _read_index_table(spark: SparkSession, table: str, batch_id):
+    """A bucketed index table read for a streaming hot loop, minus the
+    replaying batch's OWN rows (ADVICE r5 medium): if
+    compact_stream_index ran in the crash window between batch N's
+    index write and its checkpoint commit, batch N's rows are in the
+    TABLE on replay rather than the per-batch tail —
+    ``_stream_index_tail``'s own-partition exclusion never sees them,
+    so without this filter stream_clean anti-joins the batch against
+    itself (cleaned/batch=N rewritten empty) and the near-dup verify
+    double-counts shingles.  The filter is on a non-bucket row column,
+    which does not break the bucketed scan layout."""
+    return spark.table(table).filter(F.col("batch") != F.lit(batch_id))
 
 
 def _stream_neardup_pairs(spark: SparkSession, dist_arr, bands_arr,
@@ -214,10 +240,13 @@ def _stream_neardup_pairs(spark: SparkSession, dist_arr, bands_arr,
         cand = _band_join(_cbands(chunks_arr), _cbands(all_chunks),
                           on_band_id=True).distinct()
     elif use_tables:
-        dist_all = (spark.table(f"{bucketed_name}_dist")
+        dist_all = (_read_index_table(spark, f"{bucketed_name}_dist",
+                                      batch_id)
                     .select("doc_id", "h").unionAll(dist_all))
         cand = _band_join(bands_arr,
-                          spark.table(f"{bucketed_name}_bands"),
+                          _read_index_table(spark,
+                                            f"{bucketed_name}_bands",
+                                            batch_id),
                           on_band_id=False)
         cand = cand.unionAll(_band_join(bands_arr, bands_arr,
                                         on_band_id=True))
@@ -346,9 +375,14 @@ def _clean_one_batch(spark: SparkSession, batch_df, batch_id,
     fresh = gated
     if use_hash_tbl:
         # separate anti-join (NOT unioned with the tail): a union
-        # would erase the table's bucketing and force a full shuffle
+        # would erase the table's bucketing and force a full shuffle.
+        # Own-batch rows are excluded (ADVICE r5: a compaction in the
+        # crash window moves the replaying batch's hashes into the
+        # table; without the filter the batch anti-joins itself and
+        # the replay rewrites cleaned/batch=N empty)
         fresh = fresh.join(
-            spark.table(f"{bucketed_name}_hashes").select("content_hash"),
+            _read_index_table(spark, f"{bucketed_name}_hashes",
+                              batch_id).select("content_hash"),
             "content_hash", "left_anti")
     if seen is not None:
         fresh = fresh.join(seen, "content_hash", "left_anti")

@@ -31,6 +31,15 @@ def main() -> None:
                    choices=("lm", "lm2", "dsir"),
                    help="corpus-model quality gate (CCNet-style LM "
                         "bits/token, or DSIR importance ratio)")
+    p.add_argument("--semantic-dedup", default=None, metavar="EMB_PATH",
+                   help="embeddings parquet (vec_id == doc_id) — "
+                        "enables the SemDeDup fourth gate over the "
+                        "near-dup survivors")
+    p.add_argument("--semantic-policy", default="clusters",
+                   choices=["clusters", "pairwise"],
+                   help="clusters: one survivor per semantic-dup "
+                        "component (min doc_id); pairwise: drop each "
+                        "pair's closer-to-centroid member (paper rule)")
     p.add_argument("--sketch", default="minhash",
                    choices=["minhash", "simhash128"],
                    help="near-dup candidate generator: minhash "
@@ -48,7 +57,9 @@ def main() -> None:
                                neardup_policy=args.neardup_policy,
                                gopher_gate=args.gopher_gate,
                                sketch=args.sketch,
-                               model_gate=args.model_gate)
+                               model_gate=args.model_gate,
+                               embeddings_path=args.semantic_dedup,
+                               semantic_policy=args.semantic_policy)
     print(json.dumps(metrics))
 
 

@@ -53,7 +53,7 @@ SUITE = [
     "lm_perplexity_filter", "tfidf_top_terms", "corpus_shuffle",
     "dup_ngram_fraction", "dsir_importance", "top_ngrams",
     "corpus_stats", "source_overlap_matrix", "mixture_weights",
-    "lm2_perplexity_filter",
+    "lm2_perplexity_filter", "dedup_substring", "dedup_substring_cut",
 ]
 if os.environ.get("SCALE_SUITE"):  # subset override for re-runs
     SUITE = os.environ["SCALE_SUITE"].split(",")

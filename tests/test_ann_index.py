@@ -77,6 +77,30 @@ def test_ann_index_append_keeps_pruning_and_measures_drift(
     stats2 = append_to_ann_index(clones, path, skew_bound=4.0)
     assert stats2["retrain_advised"], stats2
 
+    # the occupancy SIDECAR (k rows, merged per append from the batch
+    # counts only — ADVICE r5: no O(corpus) re-aggregation) agrees
+    # exactly with a ground-truth aggregation of the members tree
+    truth = {r.cell: r.n for r in
+             spark.read.parquet(f"{path}/members")
+             .groupBy("cell").agg(F.count("*").alias("n")).collect()}
+    side = {r.cell: r.n for r in
+            spark.read.parquet(f"{path}/cell_counts").collect()}
+    assert side == truth
+
+    # pre-sidecar index (bootstrap path): delete the sidecar, append
+    # again — one full count rebuilds it and it stays exact
+    import shutil
+    shutil.rmtree(f"{path}/cell_counts")
+    more = (emb.filter(F.col("vec_id") == 1)
+            .select((F.col("vec_id") + 200000).alias("vec_id"), "e"))
+    append_to_ann_index(more, path)
+    truth = {r.cell: r.n for r in
+             spark.read.parquet(f"{path}/members")
+             .groupBy("cell").agg(F.count("*").alias("n")).collect()}
+    side = {r.cell: r.n for r in
+            spark.read.parquet(f"{path}/cell_counts").collect()}
+    assert side == truth
+
 
 def test_ann_index_sampled_fit_and_wider_probe(spark, tmp_path):
     """train_limit flows through; widening nprobe can only add

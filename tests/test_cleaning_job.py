@@ -119,3 +119,99 @@ def test_cleaning_job_redacts_planted_pii(spark, tmp_path):
     assert cleaned.filter(F.col("text").contains("@example.com")).count() == 0
     assert cleaned.filter(F.col("text").contains("[EMAIL]")).count() \
         == m["rows_out"]
+
+
+def test_cleaning_job_semantic_dedup_gate(spark, tmp_path):
+    """VERDICT r5 item 6: SemDeDup as the batch job's fourth gate.
+    Plant a 3-member semantic-duplicate component (near-identical
+    embeddings, token-distinct texts) among documents that survive the
+    token-level stages: the clusters policy keeps exactly the min
+    doc_id, the funnel stays monotone and gains the
+    after_semantic_dedup row, and the run strictly tightens vs the
+    plain one."""
+    base_out = str(tmp_path / "plain")
+    base = run_cleaning_job(spark, f"{SF}/documents.parquet", base_out)
+    surv = sorted(r.doc_id for r in
+                  spark.read.parquet(base_out).select("doc_id").collect())
+    a, b, c = surv[0], surv[1], surv[2]
+
+    # embeddings: natural corpus everywhere except b and c, which get
+    # near-identical copies of a's vector (cosine ~0.9999 >= tau) —
+    # one transitive semantic component {a, b, c}
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    ea = emb.filter(F.col("vec_id") == a).first().embedding
+    planted = spark.createDataFrame(
+        [(b, [float(ea[0]) + 0.01] + [float(x) for x in ea[1:]]),
+         (c, [float(ea[0]) + 0.02] + [float(x) for x in ea[1:]])],
+        "vec_id long, embedding array<float>")
+    emb_path = str(tmp_path / "emb")
+    (emb.filter(~F.col("vec_id").isin([b, c])).select("vec_id", "embedding")
+     .unionByName(planted)
+     .write.mode("overwrite").parquet(emb_path))
+
+    out = str(tmp_path / "sem")
+    m = run_cleaning_job(spark, f"{SF}/documents.parquet", out,
+                         embeddings_path=emb_path)
+    # funnel: monotone through the new stage, reconciles with output
+    assert (m["rows_in"] >= m["after_quality_language"]
+            >= m["after_exact_dedup"] >= m["after_neardup_removal"]
+            >= m["after_semantic_dedup"] == m["rows_out"] > 0)
+    # token-level stages identical to the plain run; the semantic gate
+    # drops exactly the two planted non-canonical members (natural
+    # corpus tops out near cosine 0.51 — no collateral)
+    assert m["after_neardup_removal"] == base["after_neardup_removal"]
+    assert m["after_semantic_dedup"] == m["after_neardup_removal"] - 2
+    assert m["rows_out"] == base["rows_out"] - 2
+
+    kept = {r.doc_id for r in
+            spark.read.parquet(out).select("doc_id").collect()}
+    assert a in kept and b not in kept and c not in kept
+
+
+def test_semantic_dedup_removal_policies(spark):
+    """Unit: clusters keeps one per component (min id); pairwise drops
+    every closer-to-centroid pair member; docs without embeddings pass
+    through; unknown policy fails loudly."""
+    import pytest
+
+    from engine.cleaning import semantic_dedup_removal
+
+    from engine.analytics import _lsh_embeddings
+
+    # natural corpus (so the k-means cells are populated — a 3-vector
+    # frame would give every vector its own cell and no same-cell
+    # pairs) + a planted transitive component {3, 601, 602}
+    base = _lsh_embeddings(
+        spark.read.parquet(f"{SF}/embeddings.parquet")) \
+        .select("vec_id", "e")
+    e3 = [float(x) for x in base.filter(F.col("vec_id") == 3).first().e]
+    planted = spark.createDataFrame(
+        [(601, [e3[0] + 0.01] + e3[1:]),
+         (602, [e3[0] + 0.02] + e3[1:])],
+        "vec_id long, e array<double>")
+    emb_df = base.unionByName(planted)
+    docs = (spark.range(500).select(F.col("id").alias("doc_id"))
+            .unionByName(spark.createDataFrame(
+                [(601,), (602,), (900,)], "doc_id long"))
+            .withColumn("text", F.concat(F.lit("doc body "),
+                                         F.col("doc_id"))))
+
+    kept_cl = {r.doc_id for r in
+               semantic_dedup_removal(docs, emb_df, "clusters").collect()}
+    # one survivor per component, min doc_id: 3 stays, 601/602 drop;
+    # doc 900 (no embedding) passes through
+    assert 3 in kept_cl and 900 in kept_cl
+    assert 601 not in kept_cl and 602 not in kept_cl
+    # no natural-corpus collateral (max natural cosine ~0.51 < tau)
+    assert len(kept_cl) == docs.count() - 2
+
+    kept_pw = {r.doc_id for r in
+               semantic_dedup_removal(docs, emb_df, "pairwise").collect()}
+    # complete pair graph on {3, 601, 602}: exactly one member (the
+    # farthest from its cell centroid) survives
+    assert 900 in kept_pw
+    assert len({3, 601, 602} & kept_pw) == 1
+    assert len(kept_pw) == docs.count() - 2
+
+    with pytest.raises(ValueError):
+        semantic_dedup_removal(docs, emb_df, "nope")

@@ -72,3 +72,134 @@ def test_span_dedup_counts_first_occurrence_semantics(spark, tmp_path):
     got = {r.doc_id: r for r in fn(spark, str(tmp_path)).collect()}
     assert got[1].n_spans == 1 and got[1].n_dup_spans == 0
     assert got[2].n_spans == 3 and got[2].n_dup_spans == 2
+
+
+def test_substring_dedup_catches_straddling_repeat(spark, tmp_path):
+    """VERDICT r5 item 4's motivating case: a 25-token run shared by
+    two documents at DIFFERENT, grid-misaligned offsets.  The fixed
+    non-overlapping 20-token windows of dedup_span_exact see no
+    duplicate at all; dedup_substring must report exactly the maximal
+    25-token span in each document, at its true offset."""
+    import os
+
+    shared = [f"s{i}" for i in range(25)]
+    doc1 = [f"u{i}" for i in range(10)] + shared + ["x1", "x2", "x3",
+                                                   "x4", "x5"]
+    doc2 = [f"v{i}" for i in range(3)] + shared + [f"w{i}"
+                                                   for i in range(12)]
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, " ".join(doc1)), (2, " ".join(doc2))],
+        "doc_id long, text string").write.parquet(path)
+    os.rename(path, str(tmp_path / "documents.parquet"))
+
+    fixed_fn, _ = _REGISTRY["dedup_span_exact"]
+    fixed = {r.doc_id: r for r in fixed_fn(spark, str(tmp_path)).collect()}
+    assert fixed[1].n_dup_spans == 0 and fixed[2].n_dup_spans == 0
+
+    fn, _ = _REGISTRY["dedup_substring"]
+    got = sorted(tuple(r) for r in fn(spark, str(tmp_path)).collect())
+    assert got == [(1, 10, 25), (2, 3, 25)]
+
+
+def test_substring_dedup_merges_and_self_repeats(spark, tmp_path):
+    """Within-document self-repeats count (a doc repeating its own
+    20-token block reports the covering span), and two nearby repeats
+    whose coverage overlaps merge into ONE maximal span."""
+    import os
+
+    block = [f"b{i}" for i in range(20)]
+    # doc 1: block at 0 and again at 25 (gap 5 unique tokens):
+    # coverage [0,19] and [25,44] do not touch (gap 25 > 20) → two
+    # spans; doc 2 carries the block once (cross-doc dup evidence)
+    doc1 = block + [f"g{i}" for i in range(5)] + block
+    doc2 = [f"h{i}" for i in range(7)] + block
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, " ".join(doc1)), (2, " ".join(doc2))],
+        "doc_id long, text string").write.parquet(path)
+    os.rename(path, str(tmp_path / "documents.parquet"))
+
+    fn, _ = _REGISTRY["dedup_substring"]
+    got = sorted(tuple(r) for r in fn(spark, str(tmp_path)).collect())
+    assert got == [(1, 0, 20), (1, 25, 20), (2, 7, 20)]
+
+    # touching coverage merges: the block twice back-to-back is
+    # duplicated windows at starts 0 and 20 (gap == L) → ONE 40-token
+    # covered span, not two
+    doc3 = block + block
+    doc4 = [f"r{i}" for i in range(4)] + block
+    path2 = str(tmp_path / "m" / "docs")
+    os.makedirs(str(tmp_path / "m"), exist_ok=True)
+    spark.createDataFrame(
+        [(3, " ".join(doc3)), (4, " ".join(doc4))],
+        "doc_id long, text string").write.parquet(path2)
+    os.rename(path2, str(tmp_path / "m" / "documents.parquet"))
+    got2 = sorted(tuple(r) for r in fn(spark, str(tmp_path / "m")).collect())
+    assert got2 == [(3, 0, 40), (4, 4, 20)]
+
+
+def test_substring_cut_keeps_canonical_occurrence(spark, tmp_path):
+    """The rewrite action: every duplicated window's global-first
+    occurrence survives intact, every other occurrence's positions are
+    cut; unaffected docs pass through with n_cut = 0 and their own
+    text hash.  Re-running span detection on the rebuilt corpus finds
+    nothing (each duplicated substring now exists exactly once)."""
+    import hashlib
+    import os
+
+    shared = [f"s{i}" for i in range(25)]
+    doc1 = [f"u{i}" for i in range(10)] + shared + ["x1", "x2", "x3",
+                                                   "x4", "x5"]
+    doc2 = [f"v{i}" for i in range(3)] + shared + [f"w{i}"
+                                                   for i in range(12)]
+    doc3 = [f"z{i}" for i in range(22)]           # no dups, len >= L
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, " ".join(doc1)), (2, " ".join(doc2)), (3, " ".join(doc3))],
+        "doc_id long, text string").write.parquet(path)
+    os.rename(path, str(tmp_path / "documents.parquet"))
+
+    fn, _ = _REGISTRY["dedup_substring_cut"]
+    got = {r.doc_id: r for r in fn(spark, str(tmp_path)).collect()}
+
+    # doc 1 holds the canonical occurrence: untouched
+    assert got[1].n_cut == 0 and got[1].n_tokens == 40
+    assert got[1].text_md5 == hashlib.md5(
+        " ".join(doc1).encode()).hexdigest()
+    # doc 2's copy is cut position-wise (the whole 25-token run)
+    assert got[2].n_cut == 25
+    rebuilt2 = " ".join(doc2[:3] + doc2[28:])
+    assert got[2].text_md5 == hashlib.md5(rebuilt2.encode()).hexdigest()
+    # bystander doc is untouched
+    assert got[3].n_cut == 0
+    assert got[3].text_md5 == hashlib.md5(
+        " ".join(doc3).encode()).hexdigest()
+
+    # Lee et al. fixed point: the rebuilt corpus has no >=L repeat left
+    path2 = str(tmp_path / "r" / "docs")
+    os.makedirs(str(tmp_path / "r"), exist_ok=True)
+    spark.createDataFrame(
+        [(1, " ".join(doc1)), (2, rebuilt2), (3, " ".join(doc3))],
+        "doc_id long, text string").write.parquet(path2)
+    os.rename(path2, str(tmp_path / "r" / "documents.parquet"))
+    spans_fn, _ = _REGISTRY["dedup_substring"]
+    assert spans_fn(spark, str(tmp_path / "r")).count() == 0
+
+    # within-doc self repeat: the doc's own later copy is cut too
+    block = [f"b{i}" for i in range(20)]
+    doc4 = block + block
+    doc5 = [f"r{i}" for i in range(4)] + block
+    path3 = str(tmp_path / "s" / "docs")
+    os.makedirs(str(tmp_path / "s"), exist_ok=True)
+    spark.createDataFrame(
+        [(4, " ".join(doc4)), (5, " ".join(doc5))],
+        "doc_id long, text string").write.parquet(path3)
+    os.rename(path3, str(tmp_path / "s" / "documents.parquet"))
+    got2 = {r.doc_id: r for r in fn(spark, str(tmp_path / "s")).collect()}
+    assert got2[4].n_cut == 20          # second block occurrence
+    assert got2[4].text_md5 == hashlib.md5(
+        " ".join(block).encode()).hexdigest()
+    assert got2[5].n_cut == 20          # its copy loses the block
+    assert got2[5].text_md5 == hashlib.md5(
+        "r0 r1 r2 r3".encode()).hexdigest()

@@ -154,17 +154,26 @@ def test_model_quality_gate_matches_query_keeps(spark):
     assert gated_ids == keep_ids
     assert 0 < len(gated_ids) < docs.count()
 
-    # dsir gate keeps the above-corpus-mean half, decided in exact
-    # integer micro-units (see model_quality_gate)
+    # dsir gate keeps the at-or-above-corpus-mean half, decided in
+    # exact integer micro-units (see model_quality_gate; >= so a
+    # degenerate all-equal-score corpus keeps everything, ADVICE r5)
     am = {r.doc_id: round(r.avg_logratio * 10000)
           for r in A.dsir_scores(docs).collect()}
     sa, n = sum(am.values()), len(am)
-    expect = {d for d, v in am.items() if v * n > sa}
+    expect = {d for d, v in am.items() if v * n >= sa}
     gated_ids = {r.doc_id for r in
                  model_quality_gate(docs, "dsir")
                  .select("doc_id").collect()}
     assert gated_ids == expect
     assert 0 < len(gated_ids) < docs.count()
+
+    # degenerate corpus: every document identical => every score equals
+    # the mean => the gate keeps ALL rows instead of dropping 100%
+    same = spark.createDataFrame(
+        [(i, "the same exact document text repeated", "web") for i in
+         range(6)],
+        "doc_id long, text string, source string")
+    assert model_quality_gate(same, "dsir").count() == 6
     # unknown model fails loudly
     import pytest
     with pytest.raises(ValueError):
@@ -363,3 +372,71 @@ def test_semdedup_hier_assignment_recovers_plants(spark):
     assert len(hier) >= 0.95 * len(truth)      # boundary losses only
     for r in hier_rows:
         assert abs(r.removed_id - r.keeper_id) == off
+
+
+def test_lm2_bigram_lg_survives_web_scale_counts(spark):
+    """VERDICT r5 item 5: the r5 single-fraction form computed
+    3·c2·T + c1w·c1p as int64 — at web-scale token totals that product
+    overflows int64 (and loses exactness past 2^53 long before).  The
+    two-ratio form (_lm2_bigram_lg) has no count product: it must
+    return the correct micro-bit value for counts where the old
+    numerator cannot even be represented, and must agree with the old
+    exact-arithmetic value (Python bignums) wherever that value
+    exists."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    # web-scale: T = 10^14 tokens, a hot bigram seen 10^9 times
+    cases = [
+        # (c2, cp, cw, tt)
+        (10**9, 10**10, 10**11, 10**14),     # hot head bigram
+        (1, 50, 3, 10**14),                  # hapax bigram, huge T
+        (123456789, 987654321, 555555555, 10**14),
+        (3, 7, 2, 97),                       # tiny corpus sanity
+    ]
+    # the OLD form's numerator overflows int64 for the web-scale rows
+    assert 3 * cases[0][0] * cases[0][3] > 2**63 - 1
+
+    df = spark.createDataFrame(
+        cases, "c2 long, cp long, cw long, tt long")
+    got = [r.lg for r in df.select(
+        A._lm2_bigram_lg(F.col("c2"), F.col("cp"), F.col("cw"),
+                         F.col("tt")).alias("lg")).collect()]
+
+    for (c2, cp, cw, tt), lg in zip(cases, got):
+        # same IEEE op order as the Column/oracle expression
+        p = 0.75 * (c2 / cp) + 0.25 * (cw / tt)
+        assert lg == round(math.log2(p) * 1000000.0), (c2, cp, cw, tt)
+        # agreement with the OLD exact-integer-ratio value (Python
+        # bignums never overflow): identical at micro-bit precision
+        old = (math.log2(3 * c2 * tt + cw * cp)
+               - math.log2(4 * cp * tt)) * 1000000.0
+        assert abs(lg - old) <= 1, (lg, old)
+
+    # keep SET on a real corpus is unchanged vs the old exact form,
+    # recomputed doc-by-doc in exact Python arithmetic
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    rows = {r.doc_id: r for r in A.lm2_scores(docs).collect()}
+
+    toks = {r.doc_id: _tokens(r.text) for r in docs.collect()}
+    uni = Counter(t for ts in toks.values() for t in ts)
+    tt = sum(uni.values())
+    big = Counter(" ".join(p) for ts in toks.values()
+                  for p in zip(ts, ts[1:]))
+    import math as _m
+    old_keep = set()
+    for d, ts in toks.items():
+        if not ts:
+            continue
+        lgs = [round((_m.log2(uni[ts[0]]) - _m.log2(tt)) * 1e6)]
+        for prev, w in zip(ts, ts[1:]):
+            c2, cp, cw = big[f"{prev} {w}"], uni[prev], uni[w]
+            lgs.append(round((_m.log2(3 * c2 * tt + cw * cp)
+                              - _m.log2(4 * cp * tt)) * 1e6))
+        bits = round(-(sum(lgs) / 1e6) / len(lgs), 4)
+        if bits <= A._LM2_KEEP_BITS:
+            old_keep.add(d)
+    new_keep = {d for d, r in rows.items() if r.keep == 1}
+    assert new_keep == old_keep
+    assert 0 < len(new_keep) < len(rows)

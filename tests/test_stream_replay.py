@@ -188,3 +188,77 @@ def test_stream_clean_bucketed_index_mode(spark, tmp_path):
         assert "Exchange" not in plan[scan_at:], plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_replay_after_crash_window_compaction(spark, tmp_path):
+    """ADVICE r5 medium: compact_stream_index may run while the stream
+    is down INSIDE the crash window (batch N's index written, its
+    checkpoint uncommitted).  The replayed batch's rows then arrive
+    via the bucketed TABLES, not the per-batch tail — pre-fix,
+    stream_clean anti-joined the batch against itself (cleaned/batch=N
+    rewritten empty) and the near-dup verify double-counted shingles.
+    The table reads now filter `batch != batch_id`
+    (engine/streaming._read_index_table), so the replay is
+    byte-identical."""
+    from engine.index import compact_stream_index
+
+    # --- stream_clean ---
+    work = str(tmp_path / "work")
+    b0 = spark.createDataFrame(_DOCS_1, "doc_id long, text string")
+    _clean_one_batch(spark, b0, 0, work)
+    b1 = spark.createDataFrame(
+        [(12, _DOCS_1[1][1] + " and the cellar"),  # near-dup of 2
+         (14, "an entirely new account of the mountain expedition was "
+              "published with photographs and careful maps of the "
+              "northern ridge for the curious public")],
+        "doc_id long, text string")
+    _clean_one_batch(spark, b1, 1, work, bucketed_name="t_rp")
+    cleaned = _rows(spark, f"{work}/cleaned/batch=1", ["doc_id", "text"])
+    assert [d for d, _ in cleaned] == [14]
+
+    # crash-window compaction: batch 1's survivors land in the tables
+    compact_stream_index(spark, work + "/index", "t_rp",
+                         str(tmp_path / "bidx"))
+    folded = {r.batch for r in
+              spark.table("t_rp_hashes").select("batch")
+              .distinct().collect()}
+    assert 1 in folded  # the replayed batch IS in the table
+
+    # replay batch 1 in bucketed mode: identical rewrite, not empty
+    _clean_one_batch(spark, b1, 1, work, bucketed_name="t_rp")
+    assert _rows(spark, f"{work}/cleaned/batch=1",
+                 ["doc_id", "text"]) == cleaned
+
+    # --- stream_dedup_neardup: jaccard must not be inflated ---
+    idx = str(tmp_path / "nidx")
+    pairs = str(tmp_path / "npairs")
+    _neardup_one_batch(spark, b0, 0, idx, pairs)
+    b1n = spark.createDataFrame(_DOCS_2, "doc_id long, text string")
+    _neardup_one_batch(spark, b1n, 1, idx, pairs)
+    got = _rows(spark, f"{pairs}/batch=1", ["doc_a", "doc_b", "jaccard"])
+    assert [(a, b) for a, b, _ in got] == [(1, 6)]
+
+    compact_stream_index(spark, idx, "t_rpn", str(tmp_path / "bidxn"))
+    _neardup_one_batch(spark, b1n, 1, idx, pairs, bucketed_name="t_rpn")
+    assert _rows(spark, f"{pairs}/batch=1",
+                 ["doc_a", "doc_b", "jaccard"]) == got
+
+
+def test_folded_batches_refuses_batchless_table(spark, tmp_path):
+    """ADVICE r5 low: a bucketed table without the `batch` provenance
+    column cannot exclude already-folded batches — bucketed mode must
+    refuse loudly instead of double-counting the tail."""
+    import pytest
+
+    from engine.streaming import _folded_batches
+
+    spark.createDataFrame([(1, 2, 3)], "doc_id long, band_id long, "
+                          "band_key long") \
+        .write.mode("overwrite").bucketBy(4, "band_key") \
+        .option("path", str(tmp_path / "nb")) \
+        .saveAsTable("t_nobatch_bands")
+    try:
+        with pytest.raises(ValueError, match="batch"):
+            _folded_batches(spark, "t_nobatch_bands")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_nobatch_bands")
