@@ -1830,9 +1830,19 @@ def _substring_window_keys(min_len: int) -> str:
 def _substring_dup_starts(docs, min_len: int):
     """Shared first half of the substring-dedup family: (toks, starts)
     where ``toks`` is the persisted (doc_id, t) token frame and
-    ``starts`` = (doc_id, pos, wtxt) — every EXACT-VERIFIED start of a
-    duplicated ``min_len``-token window (see substring_dedup_spans for
-    the plan-shape discussion)."""
+    ``starts`` = (doc_id, pos, wkey) — every VERIFIED start of a
+    duplicated ``min_len``-token window, ``wkey`` = the 16-byte md5 of
+    the window's literal text (see substring_dedup_spans for the
+    plan-shape discussion).
+
+    Two-tier key discipline: the prefix-doubling xxhash64 keys prune
+    the corpus down to candidates (their composed-64-bit collisions
+    become real around 10^12 positions), then candidates alone are
+    re-keyed on the md5 of their ACTUAL window text — the same
+    128-bit content-hash equality exact_dedup's contract rests on —
+    so the count and every downstream group travel as 16-byte binary
+    keys, never the window string itself (the r2 strings-in-shuffle
+    lesson)."""
     spark = docs.sparkSession
     toks = (docs
             .repartition(spark.sparkContext.defaultParallelism)
@@ -1847,15 +1857,14 @@ def _substring_dup_starts(docs, min_len: int):
     dup_keys = (keys.groupBy("wk").agg(F.count("*").alias("n"))
                 .filter(F.col("n") >= 2).select("wk"))
     cand = keys.join(dup_keys, "wk", "left_semi")
-    # exact verify on candidates only: a hash collision must not
-    # surface a span the oracle (which compares real text) won't have
     cand_txt = (cand.join(toks, "doc_id")
                 .select("doc_id", "pos",
-                        F.expr(f"array_join(slice(t, cast(pos as int) + 1, "
-                               f"{min_len}), ' ')").alias("wtxt")))
-    true_w = (cand_txt.groupBy("wtxt").agg(F.count("*").alias("n"))
-              .filter(F.col("n") >= 2).select("wtxt"))
-    starts = cand_txt.join(true_w, "wtxt", "left_semi")
+                        F.expr(f"unhex(md5(cast(array_join(slice(t, "
+                               f"cast(pos as int) + 1, {min_len}), ' ') "
+                               f"as binary)))").alias("wkey")))
+    true_w = (cand_txt.groupBy("wkey").agg(F.count("*").alias("n"))
+              .filter(F.col("n") >= 2).select("wkey"))
+    starts = cand_txt.join(true_w, "wkey", "left_semi")
     return toks, starts
 
 
@@ -1878,14 +1887,15 @@ def substring_dedup_spans(docs, min_len: int = _SUBSTR_L):
 
     Plan shape: one scan (the doubling is a single fused projection —
     _substring_window_keys), one explode, ONE corpus-wide shuffle (the
-    window-key count), an exact verify confined to candidate
-    positions, and a per-document islands merge.  Scale: rows into the
-    shuffle are (doc_id, pos, key) longs; 64-bit key collisions at
-    10^12 positions would seed false candidates, but candidates are
-    re-verified on their actual window TEXT (count >= 2 over the
-    candidate windows only — the verify-on-candidates discipline of
-    the MinHash family), so collisions cost duplicate-side work, never
-    correctness."""
+    window-key count), a verify confined to candidate positions, and
+    a per-document islands merge.  Scale: rows into the shuffle are
+    (doc_id, pos, key) longs; composed-64-bit doubling-key collisions
+    at 10^12 positions would seed false candidates, but candidates
+    are re-keyed on the md5 of their ACTUAL window text (count >= 2
+    over the candidate windows only — the verify-on-candidates
+    discipline of the MinHash family, on the same 128-bit
+    content-hash equality exact_dedup rests on), so doubling-key
+    collisions cost duplicate-side work, never results."""
     _toks, starts = _substring_dup_starts(docs, min_len)
     starts = starts.select("doc_id", "pos")
     # islands merge: runs of starts with gap <= L give one covered span
@@ -1948,7 +1958,7 @@ FROM toks t LEFT JOIN cuts cu ON cu.doc_id = t.doc_id
 """
 
 
-def substring_cut(docs, min_len: int = _SUBSTR_L):
+def substring_cut_rewrite(docs, min_len: int = _SUBSTR_L):
     """The REWRITE action of Lee et al.'s ExactSubstr dedup: remove
     every duplicated >= ``min_len``-token window occurrence EXCEPT its
     canonical one (global min (doc_id, pos) per window text — the same
@@ -1958,10 +1968,13 @@ def substring_cut(docs, min_len: int = _SUBSTR_L):
     (overlap protection — a keeper's text always survives intact, so
     every duplicated substring still exists exactly once).
 
-    Returns (doc_id, n_tokens, n_cut, text_md5) for EVERY document
-    (unaffected docs report n_cut = 0), text_md5 = md5 of the
-    rewritten space-joined token stream — the value-hash evidence that
-    both engines rebuilt identical text.
+    Returns (doc_id, n_tokens, n_cut, text) for EVERY document
+    (unaffected docs report n_cut = 0), ``text`` = the rewritten
+    space-joined token stream.  Honest normalization note: the rewrite
+    operates on the SAME normalized token stream every dedup operator
+    keys on (_SPARK_TOKS — lowercased, whitespace-split), so case and
+    run-of-space information is not preserved; a byte-preserving cut
+    would carry per-token byte offsets through the tokenizer.
 
     Scale shape: everything through the verified starts is
     _substring_dup_starts (one shuffle + candidate-only verify); the
@@ -1971,15 +1984,15 @@ def substring_cut(docs, min_len: int = _SUBSTR_L):
     indexed array filter."""
     spark = docs.sparkSession
     # the final frame covers EVERY document (short docs report
-    # n_cut = 0 with their own text hash); _substring_dup_starts'
+    # n_cut = 0 with their text untouched); _substring_dup_starts'
     # internal toks frame is length-filtered, so build the full one
     all_toks = (docs
                 .repartition(spark.sparkContext.defaultParallelism)
                 .select("doc_id", F.expr(_SPARK_TOKS).alias("t")))
     _toks, starts = _substring_dup_starts(docs, min_len)
-    keep = starts.groupBy("wtxt").agg(
+    keep = starts.groupBy("wkey").agg(
         F.min(F.struct("doc_id", "pos")).alias("k"))
-    s2 = (starts.join(keep, "wtxt")
+    s2 = (starts.join(keep, "wkey")
           .select("doc_id", "pos",
                   ((F.col("k.doc_id") == F.col("doc_id"))
                    & (F.col("k.pos") == F.col("pos"))).alias("is_keep")))
@@ -1987,11 +2000,13 @@ def substring_cut(docs, min_len: int = _SUBSTR_L):
         "doc_id", "is_keep",
         F.explode(F.expr(
             f"sequence(pos, pos + {min_len} - 1)")).alias("p"))
-    protected = (cover.filter("is_keep")
-                 .select("doc_id", "p").distinct())
-    cut = (cover.filter(~F.col("is_keep"))
-           .select("doc_id", "p").distinct()
-           .join(protected, ["doc_id", "p"], "left_anti"))
+    # cut iff covered by >=1 occurrence and by NO keeper occurrence:
+    # one combinable max(is_keep) per position replaces the
+    # distinct/distinct/anti-join formulation (3 shuffles -> 1;
+    # measured 3.1 -> ~1 s at sf0.1)
+    cut = (cover.groupBy("doc_id", "p")
+           .agg(F.max(F.col("is_keep").cast("int")).alias("any_keep"))
+           .filter(F.col("any_keep") == 0))
     cuts = cut.groupBy("doc_id").agg(F.collect_set("p").alias("c"))
     rebuilt = (
         "array_join(filter(transform(t, (x, i) -> "
@@ -2003,7 +2018,16 @@ def substring_cut(docs, min_len: int = _SUBSTR_L):
             .select("doc_id",
                     F.size("t").cast("long").alias("n_tokens"),
                     F.size("c").cast("long").alias("n_cut"),
-                    F.md5(F.expr(rebuilt).cast("binary"))
+                    F.expr(rebuilt).alias("text")))
+
+
+def substring_cut(docs, min_len: int = _SUBSTR_L):
+    """Driver-checkable form of substring_cut_rewrite: the rewritten
+    text travels as its md5 (the value-hash evidence that both engines
+    rebuilt identical text)."""
+    return (substring_cut_rewrite(docs, min_len)
+            .select("doc_id", "n_tokens", "n_cut",
+                    F.md5(F.col("text").cast("binary"))
                     .alias("text_md5")))
 
 

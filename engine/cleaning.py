@@ -2,8 +2,8 @@
 analytics operators exist for, chained into ONE pipeline —
 
     quality gates (C4 + language) → exact dedup → MinHash near-dup
-    removal → [SemDeDup semantic dedup] → PII scrub → cleaned corpus
-    + per-stage metrics.
+    removal → [SemDeDup semantic dedup] → [ExactSubstr substring cut]
+    → PII scrub → cleaned corpus + per-stage metrics.
 
 Stage semantics are the driver-checked queries' semantics
 (engine/analytics.py): the gates are the ``cleaning_pass`` gates, the
@@ -245,6 +245,29 @@ def semantic_dedup_removal(docs: DataFrame, emb: DataFrame,
     return docs.join(drop, "doc_id", "left_anti")
 
 
+def substring_cut_stage(docs: DataFrame,
+                        min_len: int = None) -> DataFrame:
+    """ExactSubstr rewrite as a job stage (the Lee et al. action the
+    span operators point at): every duplicated >= min_len-token
+    substring occurrence is cut from the NORMALIZED token stream
+    except its global-first keeper — no document is dropped, their
+    text shrinks.  Adds ``n_tokens_cut`` so the job's metrics can
+    report total tokens removed.  Columns other than ``text`` pass
+    through; note the rewritten text is the lowercased token join
+    (the stream all dedup operators key on — documented in
+    substring_cut_rewrite)."""
+    from engine.analytics import _SUBSTR_L, substring_cut_rewrite
+
+    rewritten = substring_cut_rewrite(
+        docs.select("doc_id", "text"),
+        min_len if min_len is not None else _SUBSTR_L)
+    keep_cols = [c for c in docs.columns if c != "text"]
+    return (docs.select(*keep_cols)
+            .join(rewritten.select("doc_id", "text",
+                                   F.col("n_cut").alias("n_tokens_cut")),
+                  "doc_id"))
+
+
 def pii_scrub_text(docs: DataFrame) -> DataFrame:
     """Redact emails/phones in place; adds n_redactions."""
     n_red = (F.size(F.regexp_extract_all(F.col("text"), F.lit(_PII_EMAIL),
@@ -263,7 +286,8 @@ def cleaning_stages(docs: DataFrame, neardup_policy: str = "pairwise",
                     sketch: str = "minhash",
                     model_gate: str = None,
                     semantic_dedup: DataFrame = None,
-                    semantic_policy: str = "clusters") -> dict:
+                    semantic_policy: str = "clusters",
+                    substring_cut: bool = False) -> dict:
     """The job's stage DataFrames, each boundary PERSISTED.
 
     Every stage output is referenced more than once downstream (exact
@@ -293,6 +317,13 @@ def cleaning_stages(docs: DataFrame, neardup_policy: str = "pairwise",
         final = semantic_dedup_removal(survivors, semantic_dedup,
                                        policy=semantic_policy).persist()
         stages["semantic"] = final
+    if substring_cut:
+        # rewrite stage, not a gate: documents survive with duplicated
+        # >=L-token substrings cut (keeper occurrence excepted); runs
+        # after every document-dropping stage so keepers are chosen
+        # among documents that actually ship
+        final = substring_cut_stage(final).persist()
+        stages["substring"] = final
     stages["cleaned"] = pii_scrub_text(final)
     return stages
 
@@ -304,7 +335,8 @@ def run_cleaning_job(spark: SparkSession, input_path: str,
                      sketch: str = "minhash",
                      model_gate: str = None,
                      embeddings_path: str = None,
-                     semantic_policy: str = "clusters") -> dict:
+                     semantic_policy: str = "clusters",
+                     substring_cut: bool = False) -> dict:
     """documents parquet in → cleaned corpus parquet out, one JSON-able
     metrics dict back (per-stage survivor counts reconcile the run the
     way the extraction pipeline's lineage rows do).
@@ -328,11 +360,17 @@ def run_cleaning_job(spark: SparkSession, input_path: str,
                              gopher_gate=gopher_gate, sketch=sketch,
                              model_gate=model_gate,
                              semantic_dedup=emb,
-                             semantic_policy=semantic_policy)
+                             semantic_policy=semantic_policy,
+                             substring_cut=substring_cut)
     obs = Observation()
-    cleaned = stages["cleaned"].observe(
-        obs, F.count(F.lit(1)).alias("rows_out"),
-        F.coalesce(F.sum("n_redactions"), F.lit(0)).alias("pii_redactions"))
+    observations = [
+        F.count(F.lit(1)).alias("rows_out"),
+        F.coalesce(F.sum("n_redactions"), F.lit(0)).alias("pii_redactions")]
+    if substring_cut:
+        observations.append(
+            F.coalesce(F.sum("n_tokens_cut"), F.lit(0))
+            .alias("substring_tokens_cut"))
+    cleaned = stages["cleaned"].observe(obs, *observations)
     cleaned.write.mode("overwrite").parquet(output_path)
     out_metrics = obs.get
     metrics = {
@@ -348,7 +386,10 @@ def run_cleaning_job(spark: SparkSession, input_path: str,
         "pii_redactions": int(out_metrics["pii_redactions"]),
         "wall_sec": round(time.time() - t0, 3),
     })
-    for name in ("gated", "exact", "survivors", "semantic"):
+    if substring_cut:
+        metrics["substring_tokens_cut"] = int(
+            out_metrics["substring_tokens_cut"])
+    for name in ("gated", "exact", "survivors", "semantic", "substring"):
         if name in stages:
             stages[name].unpersist()
     return metrics

@@ -40,6 +40,11 @@ def main() -> None:
                    help="clusters: one survivor per semantic-dup "
                         "component (min doc_id); pairwise: drop each "
                         "pair's closer-to-centroid member (paper rule)")
+    p.add_argument("--substring-cut", action="store_true",
+                   help="rewrite stage: cut duplicated >=20-token "
+                        "substrings position-wise (global-first "
+                        "occurrence kept; output text is the "
+                        "normalized token stream)")
     p.add_argument("--sketch", default="minhash",
                    choices=["minhash", "simhash128"],
                    help="near-dup candidate generator: minhash "
@@ -59,7 +64,8 @@ def main() -> None:
                                sketch=args.sketch,
                                model_gate=args.model_gate,
                                embeddings_path=args.semantic_dedup,
-                               semantic_policy=args.semantic_policy)
+                               semantic_policy=args.semantic_policy,
+                               substring_cut=args.substring_cut)
     print(json.dumps(metrics))
 
 

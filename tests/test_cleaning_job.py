@@ -215,3 +215,48 @@ def test_semantic_dedup_removal_policies(spark):
 
     with pytest.raises(ValueError):
         semantic_dedup_removal(docs, emb_df, "nope")
+
+
+def test_cleaning_job_substring_cut_stage(spark, tmp_path):
+    """--substring-cut as a job stage: two gate-passing documents
+    share a 25-token run (below the 0.2-Jaccard near-dup threshold,
+    so both SURVIVE the dedup stages); the rewrite cuts the run from
+    the non-canonical doc only, drops no documents, and reports the
+    cut size in the metrics."""
+    import os
+
+    shared = ("the quick brown fox jumps over the lazy dog while the "
+              "amber sun settles on the quiet valley and the winding "
+              "river flows gently north").split()
+    assert len(shared) == 25
+
+    def filler(prefix, n):
+        out = []
+        for i in range(n):
+            out.append(f"{prefix}{i}")
+            if i % 5 == 4:
+                out.append("the")
+        return out
+
+    doc_a = filler("alpha", 35) + shared + filler("omega", 30)
+    doc_b = filler("beta", 30) + shared + filler("gamma", 35)
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, " ".join(doc_a)), (2, " ".join(doc_b))],
+        "doc_id long, text string").write.parquet(path)
+    os.rename(path, str(tmp_path / "documents.parquet"))
+
+    out = str(tmp_path / "cleaned")
+    m = run_cleaning_job(spark, str(tmp_path / "documents.parquet"),
+                         out, substring_cut=True)
+    assert m["rows_in"] == m["rows_out"] == 2   # rewrite, not a gate
+    # 26, not 25: both fillers end with a stopword "the", which butts
+    # against shared[0] == "the" — the true maximal repeat is one
+    # token longer than the planted run (the operator is maximal)
+    assert m["substring_tokens_cut"] == 26
+
+    rows = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    joined_shared = " ".join(shared)
+    assert joined_shared in rows[1].text        # canonical keeper
+    assert joined_shared not in rows[2].text    # cut from the copy
+    assert rows[2].n_tokens_cut == 26 and rows[1].n_tokens_cut == 0
