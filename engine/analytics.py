@@ -1897,8 +1897,14 @@ def substring_dedup_spans(docs, min_len: int = _SUBSTR_L):
     content-hash equality exact_dedup rests on), so doubling-key
     collisions cost duplicate-side work, never results."""
     _toks, starts = _substring_dup_starts(docs, min_len)
-    starts = starts.select("doc_id", "pos")
-    # islands merge: runs of starts with gap <= L give one covered span
+    return _merge_span_islands(starts.select("doc_id", "pos"), min_len)
+
+
+def _merge_span_islands(starts, min_len: int):
+    """Islands merge shared by the batch and streaming substring
+    operators: runs of duplicated-window starts with gap <= L give one
+    covered (doc_id, span_start, span_len) span per run.  The window
+    partitions by doc_id — per-document sort, never a global one."""
     w_doc = Window.partitionBy("doc_id").orderBy("pos")
     brk = F.when(F.col("pos") - F.lag("pos").over(w_doc)
                  <= F.lit(min_len), 0).otherwise(1)
@@ -1909,6 +1915,20 @@ def substring_dedup_spans(docs, min_len: int = _SUBSTR_L):
             .agg(F.min("pos").alias("span_start"),
                  (F.max("pos") + min_len - F.min("pos")).alias("span_len"))
             .select("doc_id", "span_start", "span_len"))
+
+
+def _substring_window_md5_expr(min_len: int) -> str:
+    """SQL expression: per-doc array of 16-byte md5 keys, one per
+    stride-1 ``min_len``-token window of the token array ``t`` — the
+    brute-force (O(L) per position) form of the window key, used by
+    the STREAMING operator where each micro-batch pays it once over
+    arriving rows only and the keys then live in the persisted index
+    (the batch operator's doubling prune has nothing to prune there:
+    every arriving position's key must be durable for future batches
+    to match against)."""
+    return (f"transform(sequence(1, size(t) - {min_len} + 1), i -> "
+            f"unhex(md5(cast(array_join(slice(t, i, {min_len}), ' ') "
+            f"as binary))))")
 
 
 _DUCK_SUBSTR_CUT = f"""

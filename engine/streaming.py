@@ -613,6 +613,94 @@ def _neardup_one_batch(spark: SparkSession, batch_df, batch_id,
         df.unpersist()
 
 
+def stream_substring_dedup(spark: SparkSession, input_path: str,
+                           work_dir: str, checkpoint_path: str,
+                           min_len: int = 20,
+                           available_now: bool = True):
+    """Streaming SUBSTRING dedup — the streaming member of the
+    substring family (batch: engine/analytics.substring_dedup_spans /
+    substring_cut), completing the batch/stream matrix the exact,
+    MinHash and SemDeDup families already have: per micro-batch of
+    (doc_id, text), every stride-1 ``min_len``-token window of the
+    ARRIVING documents is keyed by the md5 of its text, counted
+    against the persisted window index of everything seen so far
+    (plus the batch itself), and the arriving documents' duplicated
+    coverage is emitted as merged (doc_id, span_start, span_len)
+    spans — exactly the batch operator's span shape.
+
+    Contract (tested, tests/test_stream_substring.py): the spans
+    emitted for batch N == substring_dedup_spans over the corpus
+    ACCUMULATED THROUGH batch N, restricted to batch N's documents.
+    The stream flags the ARRIVING side only — an earlier document
+    whose text only becomes duplicated when a later copy arrives is
+    not retro-flagged (its spans would need re-emission); the batch
+    operator is the retroactive sweep, the same arrival-order caveat
+    stream_clean documents for its larger-id-drop policy.
+
+    Key choice (vs the batch operator's prefix doubling): each batch
+    pays the O(L)-per-position md5 over its OWN rows once, because
+    every arriving position's key must be durable in the index for
+    FUTURE batches to match against — a doubling prune has nothing to
+    prune when the keys are the persisted artifact.  The md5 is the
+    same 128-bit content-hash equality exact_dedup rests on, so no
+    separate verify pass is needed.  Exactly-once: per-batch-id
+    overwrites; every index read excludes the batch's OWN partition
+    (``_stream_index_tail``) so replays rewrite identically.  At
+    scale, fold the per-batch window dirs into a wkey-bucketed table
+    exactly like compact_stream_index folds the band index (the count
+    then reads the corpus side in place); documented follow-on, not
+    built — the per-batch-dir union IS the correctness surface.
+
+    Layout under ``work_dir``: ``spans/batch=N`` (output),
+    ``index/windows/batch=N`` ((doc_id, pos, wkey) rows)."""
+    stream = (spark.readStream
+              .schema("doc_id LONG, text STRING")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(input_path))
+
+    def _process(batch_df, batch_id):
+        _substring_one_batch(spark, batch_df, batch_id, work_dir,
+                             min_len=min_len)
+
+    writer = (stream.writeStream.foreachBatch(_process)
+              .option("checkpointLocation", checkpoint_path))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _substring_one_batch(spark: SparkSession, batch_df, batch_id,
+                         work_dir: str, min_len: int = 20) -> None:
+    """One stream_substring_dedup micro-batch — module-level so the
+    replay test can re-invoke it with the same batch_id."""
+    from engine.analytics import (_SPARK_TOKS, _merge_span_islands,
+                                  _substring_window_md5_expr)
+
+    idx = f"{work_dir}/index/windows"
+    batch = batch_df.select("doc_id", "text").persist()
+    toks = (batch.select("doc_id", F.expr(_SPARK_TOKS).alias("t"))
+            .filter(F.expr(f"size(t) >= {min_len}")))
+    wins_arr = (toks.select(
+        "doc_id",
+        F.posexplode(F.expr(_substring_window_md5_expr(min_len)))
+        .alias("pos", "wkey"))
+        .select("doc_id", F.col("pos").cast("long").alias("pos"), "wkey")
+        .persist())
+    tail = _stream_index_tail(spark, idx, ["doc_id", "pos", "wkey"],
+                              batch_id, [])
+    all_w = wins_arr if tail is None else tail.unionAll(wins_arr)
+    dup_keys = (all_w.groupBy("wkey").agg(F.count("*").alias("n"))
+                .filter(F.col("n") >= 2).select("wkey"))
+    starts = (wins_arr.join(dup_keys, "wkey", "left_semi")
+              .select("doc_id", "pos"))
+    spans = _merge_span_islands(starts, min_len)
+    spans.write.mode("overwrite") \
+        .parquet(f"{work_dir}/spans/batch={batch_id}")
+    wins_arr.write.mode("overwrite").parquet(f"{idx}/batch={batch_id}")
+    batch.unpersist()
+    wins_arr.unpersist()
+
+
 def stream_semdedup(spark: SparkSession, input_path: str,
                     ann_index_path: str, work_dir: str,
                     checkpoint_path: str, available_now: bool = True,

@@ -89,7 +89,8 @@ def main() -> int:
     # in the analyzed plan would be a 10^9-vector scale bug)
     for qname in ("ann_lsh_top1", "dedup_embedding_cosine",
                   "dedup_minhash_lsh", "simhash_hamming_candidates",
-                  "dedup_ngram_jaccard"):
+                  "dedup_ngram_jaccard", "dedup_substring",
+                  "dedup_substring_cut"):
         fn, _ = _REGISTRY[qname]
         qdf = fn(spark, "/root/testdata/sf0.001")
         analyzed = explain_str(qdf, "extended")
@@ -110,6 +111,27 @@ def main() -> int:
             f"repartition only), found {n_sh}")
     if re.search(r"\(\d+\) Generate\b.*explode\(sequence", splan):
         failures.append("dedup_simhash: bit-axis explode crept back in")
+
+    # --- substring dedup: the prefix doubling is ONE fused projection ----
+    # (log2(L) doubling rounds as nested array transforms — a Generate
+    # or Exchange between the scan and the posexplode would mean the
+    # rounds de-fused into per-round operators/shuffles)
+    fn, _ = _REGISTRY["dedup_substring"]
+    subplan = explain_str(fn(spark, "/root/testdata/sf0.001"))
+    m_scan = re.search(r"\(\d+\) Scan parquet", subplan)
+    m_gen = re.search(r"\(\d+\) Generate\b", subplan)
+    if m_scan and m_gen:
+        between = subplan[m_scan.start():m_gen.start()]
+        # the only allowed Exchange before the window explode is the
+        # explicit parallelism repartition (RoundRobin)
+        bad = [e for e in re.findall(
+            r"\(\d+\) Exchange (\w+)", between)
+            if not e.startswith("RoundRobin")]
+        if bad:
+            failures.append(
+                f"dedup_substring: doubling rounds de-fused — "
+                f"non-repartition exchange(s) {bad} between scan and "
+                f"window explode")
 
     # --- boilerplate/pdf operators: pure row maps (no shuffle) -----------
     from engine.boilerplate import strip_boilerplate

@@ -24,6 +24,8 @@ QUERIES = [
     "dup_ngram_fraction",       # pure integer counts
     "mixture_weights",          # 1-row broadcast double math
     "dedup_exact",              # hash groupBy
+    "dedup_substring",          # doubling keys + islands merge
+    "dedup_substring_cut",      # keeper argmin + rebuilt-text md5
 ]
 
 
