@@ -142,6 +142,31 @@ def compact_stream_index(spark: SparkSession, stream_index_dir: str,
          .saveAsTable(f"{name}_hashes"))
 
 
+def compact_substring_index(spark: SparkSession, windows_dir: str,
+                            name: str, path: str,
+                            n_buckets: int = 16) -> None:
+    """Fold ``stream_substring_dedup``'s per-batch window dirs into a
+    ``{name}_windows`` table BUCKETED (and sorted) by ``wkey`` — the
+    substring family's member of the ingest → compact split
+    compact_stream_index documents: the arriving batch's
+    duplicated-window probe then reads the corpus side IN PLACE (the
+    semi-join keys on the bucket column), shuffling only the arriving
+    side.  The table keeps the source ``batch`` partition column for
+    the same reasons as the band tables: already-folded batches are
+    derived from the table itself, and a replaying batch's own rows
+    are excluded by a `batch != id` row filter
+    (engine/streaming._read_index_table).  Rerunning a crashed
+    compaction is the idempotent recovery; run between stream
+    triggers."""
+    wins = (spark.read.parquet(windows_dir)
+            .select("doc_id", "pos", "wkey", "batch"))
+    spark.sql(f"DROP TABLE IF EXISTS {name}_windows")
+    (wins.write.mode("overwrite")
+     .bucketBy(n_buckets, "wkey").sortBy("wkey")
+     .option("path", f"{path}/windows")
+     .saveAsTable(f"{name}_windows"))
+
+
 def write_ann_index(emb: DataFrame, path: str,
                     train_limit: int = 0) -> None:
     """Train the IVF model (engine/analytics._ivf_fit — deterministic

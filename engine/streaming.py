@@ -616,7 +616,9 @@ def _neardup_one_batch(spark: SparkSession, batch_df, batch_id,
 def stream_substring_dedup(spark: SparkSession, input_path: str,
                            work_dir: str, checkpoint_path: str,
                            min_len: int = 20,
-                           available_now: bool = True):
+                           available_now: bool = True,
+                           bucketed_name: str | None = None,
+                           plan_probe: list | None = None):
     """Streaming SUBSTRING dedup — the streaming member of the
     substring family (batch: engine/analytics.substring_dedup_spans /
     substring_cut), completing the batch/stream matrix the exact,
@@ -645,11 +647,16 @@ def stream_substring_dedup(spark: SparkSession, input_path: str,
     same 128-bit content-hash equality exact_dedup rests on, so no
     separate verify pass is needed.  Exactly-once: per-batch-id
     overwrites; every index read excludes the batch's OWN partition
-    (``_stream_index_tail``) so replays rewrite identically.  At
-    scale, fold the per-batch window dirs into a wkey-bucketed table
-    exactly like compact_stream_index folds the band index (the count
-    then reads the corpus side in place); documented follow-on, not
-    built — the per-batch-dir union IS the correctness surface.
+    (``_stream_index_tail``) so replays rewrite identically.
+
+    ``bucketed_name``: after ``compact_substring_index`` has folded
+    the per-batch window dirs into the wkey-bucketed
+    ``{name}_windows`` table, pass its name prefix and the
+    duplicated-window probe reads the compacted corpus IN PLACE (a
+    left-semi join on the bucket column — one arriving-side exchange,
+    the band-index hot-loop pattern) with only the uncompacted tail
+    counted the per-batch way.  Crash-window compactions are safe:
+    the table read excludes the replaying batch's own rows.
 
     Layout under ``work_dir``: ``spans/batch=N`` (output),
     ``index/windows/batch=N`` ((doc_id, pos, wkey) rows)."""
@@ -660,7 +667,9 @@ def stream_substring_dedup(spark: SparkSession, input_path: str,
 
     def _process(batch_df, batch_id):
         _substring_one_batch(spark, batch_df, batch_id, work_dir,
-                             min_len=min_len)
+                             min_len=min_len,
+                             bucketed_name=bucketed_name,
+                             plan_probe=plan_probe)
 
     writer = (stream.writeStream.foreachBatch(_process)
               .option("checkpointLocation", checkpoint_path))
@@ -670,9 +679,25 @@ def stream_substring_dedup(spark: SparkSession, input_path: str,
 
 
 def _substring_one_batch(spark: SparkSession, batch_df, batch_id,
-                         work_dir: str, min_len: int = 20) -> None:
+                         work_dir: str, min_len: int = 20,
+                         bucketed_name: str | None = None,
+                         plan_probe: list | None = None) -> None:
     """One stream_substring_dedup micro-batch — module-level so the
-    replay test can re-invoke it with the same batch_id."""
+    replay test can re-invoke it with the same batch_id.
+
+    An arriving window start is duplicated iff its key appears >= 2
+    times across (compacted table ∪ tail ∪ batch).  With the bucketed
+    table that decomposes into two arms whose union is exact:
+
+    * key matches the TABLE at least once → a left-semi join keyed on
+      the bucket column, corpus side read in place;
+    * key appears >= 2 times within (tail ∪ batch) → the per-batch
+      count, corpus-independent.
+
+    A start caught by both arms appears twice in the union; the
+    islands merge is duplicate-start-insensitive (equal pos rows land
+    in the same island and min/max are unchanged), so no distinct is
+    spent on it."""
     from engine.analytics import (_SPARK_TOKS, _merge_span_islands,
                                   _substring_window_md5_expr)
 
@@ -686,14 +711,24 @@ def _substring_one_batch(spark: SparkSession, batch_df, batch_id,
         .alias("pos", "wkey"))
         .select("doc_id", F.col("pos").cast("long").alias("pos"), "wkey")
         .persist())
+    use_tbl = (bucketed_name is not None and
+               spark.catalog.tableExists(f"{bucketed_name}_windows"))
+    folded = (_folded_batches(spark, f"{bucketed_name}_windows")
+              if use_tbl else [])
     tail = _stream_index_tail(spark, idx, ["doc_id", "pos", "wkey"],
-                              batch_id, [])
-    all_w = wins_arr if tail is None else tail.unionAll(wins_arr)
-    dup_keys = (all_w.groupBy("wkey").agg(F.count("*").alias("n"))
-                .filter(F.col("n") >= 2).select("wkey"))
-    starts = (wins_arr.join(dup_keys, "wkey", "left_semi")
-              .select("doc_id", "pos"))
-    spans = _merge_span_islands(starts, min_len)
+                              batch_id, folded)
+    local = wins_arr if tail is None else tail.unionAll(wins_arr)
+    local_dup = (local.groupBy("wkey").agg(F.count("*").alias("n"))
+                 .filter(F.col("n") >= 2).select("wkey"))
+    starts = wins_arr.join(local_dup, "wkey", "left_semi")
+    if use_tbl:
+        tbl = _read_index_table(spark, f"{bucketed_name}_windows",
+                                batch_id).select("wkey")
+        starts = starts.unionAll(wins_arr.join(tbl, "wkey", "left_semi"))
+    spans = _merge_span_islands(starts.select("doc_id", "pos"), min_len)
+    if plan_probe is not None:
+        plan_probe.append(
+            spans._jdf.queryExecution().executedPlan().toString())
     spans.write.mode("overwrite") \
         .parquet(f"{work_dir}/spans/batch={batch_id}")
     wins_arr.write.mode("overwrite").parquet(f"{idx}/batch={batch_id}")

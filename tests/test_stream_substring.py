@@ -121,3 +121,74 @@ def test_stream_substring_end_to_end_drain(spark, tmp_path):
         tuple(r) for r in spark.read.parquet(f"{work}/spans")
         .select("doc_id", "span_start", "span_len").collect())
     assert again == all_spans
+
+
+def test_stream_substring_bucketed_index_mode(spark, tmp_path):
+    """After compact_substring_index, the duplicated-window probe must
+    read the compacted window table IN PLACE (bucketed scan, one
+    arriving-side wkey exchange) and produce the same spans; a
+    crash-window compaction (replaying batch already folded into the
+    table) must still rewrite the batch identically."""
+    from engine.index import compact_substring_index
+
+    b0, b1, b2 = _mk_docs()
+    work = str(tmp_path / "work")
+    _substring_one_batch(
+        spark, spark.createDataFrame(b0, "doc_id long, text string"),
+        0, work, min_len=L)
+    compact_substring_index(spark, f"{work}/index/windows", "t_sub",
+                            str(tmp_path / "bidx"))
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        probe = []
+        df1 = spark.createDataFrame(b1, "doc_id long, text string")
+        _substring_one_batch(spark, df1, 1, work, min_len=L,
+                             bucketed_name="t_sub", plan_probe=probe)
+        assert _rows(spark, f"{work}/spans/batch=1") == [(11, 3, 25)]
+        plan = probe[0]
+        assert "Bucketed: true" in plan, plan
+        assert ("FileScan parquet spark_catalog.default"
+                ".t_sub_windows") in plan
+
+        # isolate the table-arm semi join: its corpus side must feed
+        # the join exchange-free (the scan's HashPartitioning(wkey)
+        # already satisfies the join's clustering)
+        from engine.analytics import (_SPARK_TOKS,
+                                      _substring_window_md5_expr)
+        arr = (df1.select("doc_id", F.expr(_SPARK_TOKS).alias("t"))
+               .filter(F.expr(f"size(t) >= {L}"))
+               .select("doc_id", F.posexplode(
+                   F.expr(_substring_window_md5_expr(L)))
+                   .alias("pos", "wkey")))
+        j = arr.join(spark.table("t_sub_windows").select("wkey"),
+                     "wkey", "left_semi")
+        jplan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in jplan, jplan
+        scan_at = jplan.index("FileScan parquet spark_catalog.default"
+                              ".t_sub_windows")
+        assert "Exchange" not in jplan[scan_at:], jplan
+
+        # batch 2 arrives with batch 1 still in the uncompacted tail:
+        # doc 21's coverage needs BOTH the table (block via doc 1) and
+        # the tail (other-run via doc 12) — all three layers exercised
+        df2 = spark.createDataFrame(b2, "doc_id long, text string")
+        _substring_one_batch(spark, df2, 2, work, min_len=L,
+                             bucketed_name="t_sub")
+        assert _rows(spark, f"{work}/spans/batch=2") == [(21, 0, 47)]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    # crash-window compaction: fold batches 0-2 into the table, then
+    # REPLAY batch 2 in bucketed mode — its own rows now arrive via
+    # the table and must be excluded, or the replay would self-match
+    compact_substring_index(spark, f"{work}/index/windows", "t_sub",
+                            str(tmp_path / "bidx2"))
+    folded = {r.batch for r in spark.table("t_sub_windows")
+              .select("batch").distinct().collect()}
+    assert folded == {0, 1, 2}
+    df2 = spark.createDataFrame(b2, "doc_id long, text string")
+    _substring_one_batch(spark, df2, 2, work, min_len=L,
+                         bucketed_name="t_sub")
+    assert _rows(spark, f"{work}/spans/batch=2") == [(21, 0, 47)]
