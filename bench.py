@@ -210,7 +210,11 @@ def emit(result: dict) -> None:
     headline = {k: result.get(k) for k in
                 ("metric", "value", "unit", "turns_per_sec", "sf",
                  "cpus", "load_start", "load_end")}
-    headline["full_json"] = "BENCH/last_run.json"
+    if not os.environ.get("SPARK_GRAFT_SCALING_ONLY"):
+        # the pointer is only honest when this run actually writes the
+        # file — a scaling-mode headline pointing at a stale
+        # full-suite record would misattribute its timings/load stamps
+        headline["full_json"] = "BENCH/last_run.json"
     print(json.dumps(headline, separators=(",", ":")))
     if not os.environ.get("SPARK_GRAFT_SCALING_ONLY"):
         # scaling-mode subprocesses must not clobber the full-suite

@@ -246,7 +246,8 @@ def semantic_dedup_removal(docs: DataFrame, emb: DataFrame,
 
 
 def substring_cut_stage(docs: DataFrame,
-                        min_len: int = None) -> DataFrame:
+                        min_len: int = None,
+                        cache_registry: list = None) -> DataFrame:
     """ExactSubstr rewrite as a job stage (the Lee et al. action the
     span operators point at): every duplicated >= min_len-token
     substring occurrence is cut from the NORMALIZED token stream
@@ -260,7 +261,8 @@ def substring_cut_stage(docs: DataFrame,
 
     rewritten = substring_cut_rewrite(
         docs.select("doc_id", "text"),
-        min_len if min_len is not None else _SUBSTR_L)
+        min_len if min_len is not None else _SUBSTR_L,
+        cache_registry=cache_registry)
     keep_cols = [c for c in docs.columns if c != "text"]
     return (docs.select(*keep_cols)
             .join(rewritten.select("doc_id", "text",
@@ -321,9 +323,14 @@ def cleaning_stages(docs: DataFrame, neardup_policy: str = "pairwise",
         # rewrite stage, not a gate: documents survive with duplicated
         # >=L-token substrings cut (keeper occurrence excepted); runs
         # after every document-dropping stage so keepers are chosen
-        # among documents that actually ship
-        final = substring_cut_stage(final).persist()
+        # among documents that actually ship.  The stage's internal
+        # token cache is surfaced so the job can release it with the
+        # stage boundaries (no leaked blocks across repeated jobs)
+        caches: list = []
+        final = substring_cut_stage(final,
+                                    cache_registry=caches).persist()
         stages["substring"] = final
+        stages["_substring_caches"] = caches
     stages["cleaned"] = pii_scrub_text(final)
     return stages
 
@@ -392,4 +399,6 @@ def run_cleaning_job(spark: SparkSession, input_path: str,
     for name in ("gated", "exact", "survivors", "semantic", "substring"):
         if name in stages:
             stages[name].unpersist()
+    for df in stages.get("_substring_caches", []):
+        df.unpersist()
     return metrics

@@ -157,11 +157,21 @@ def compact_substring_index(spark: SparkSession, windows_dir: str,
     are excluded by a `batch != id` row filter
     (engine/streaming._read_index_table).  Rerunning a crashed
     compaction is the idempotent recovery; run between stream
-    triggers."""
+    triggers.
+
+    Unlike the band tables, ``batch`` here is a PARTITION column (the
+    windows table is one row per token position — an order of
+    magnitude bigger than per-doc/per-band rows, so the streaming hot
+    loop must not scan it to learn which batches are folded): the
+    folded set is read from the partition listing
+    (engine/streaming._folded_batches_from_partitions, catalog
+    metadata only) and the replaying batch's own-row exclusion
+    becomes partition pruning instead of a row filter."""
     wins = (spark.read.parquet(windows_dir)
             .select("doc_id", "pos", "wkey", "batch"))
     spark.sql(f"DROP TABLE IF EXISTS {name}_windows")
     (wins.write.mode("overwrite")
+     .partitionBy("batch")
      .bucketBy(n_buckets, "wkey").sortBy("wkey")
      .option("path", f"{path}/windows")
      .saveAsTable(f"{name}_windows"))
@@ -217,11 +227,15 @@ def append_to_ann_index(new_emb: DataFrame, path: str,
     maintained by merging the APPENDED BATCH's per-cell counts into
     the previous sidecar — work proportional to the batch + k, never
     to the corpus; ADVICE r5 flagged the previous full
-    members-tree re-aggregation as an O(corpus) scan per append).  An
-    index written before the sidecar existed pays ONE full count to
-    bootstrap it, then never again.  The append itself is a plain
-    parquet append — pair it with the caller's exactly-once machinery
-    (lineage buckets / per-batch dirs) if replays are possible."""
+    members-tree re-aggregation as an O(corpus) scan per append).
+    Each append also runs a footer-cheap reconciliation (parquet
+    row-count metadata vs sidecar sum): a pre-sidecar index, a torn
+    sidecar, or a prior append whose crash window lost the sidecar
+    update triggers a one-off full recount, so the sidecar is
+    self-healing like the full recount it replaced.  The append
+    itself is a plain parquet append — pair it with the caller's
+    exactly-once machinery (lineage buckets / per-batch dirs) if
+    replays are possible."""
     import os as _os
 
     spark = new_emb.sparkSession
@@ -242,12 +256,22 @@ def append_to_ann_index(new_emb: DataFrame, path: str,
 
     # merge driver-side: both sides are k-row metadata (the same scale
     # as the collected centroid table above), and collect-then-rewrite
-    # avoids Spark's read-while-overwriting-the-same-path hazard
+    # avoids Spark's read-while-overwriting-the-same-path hazard.
+    # RECONCILIATION GUARD: a crash between a previous members append
+    # and its sidecar overwrite (or mid-overwrite, leaving an empty
+    # dir) would otherwise leave occupancy permanently wrong — the
+    # old full-recount was self-healing, so the sidecar must be too.
+    # The check is footer-cheap: parquet count() aggregates row-group
+    # metadata, no data scan; when sidecar + this batch != members,
+    # fall back to the one-off full recount.
     counts: dict = {}
     if _os.path.isdir(f"{path}/cell_counts"):
         counts = {r.cell: r.n for r in
                   spark.read.parquet(f"{path}/cell_counts").collect()}
-    else:  # pre-sidecar index: bootstrap once from the members tree
+    n_members = spark.read.parquet(f"{path}/members").count()
+    if not counts or sum(counts.values()) + n_appended != n_members:
+        # pre-sidecar index, torn sidecar, or a lost prior update:
+        # bootstrap from the members tree (already includes the batch)
         counts = {r.cell: r.n for r in
                   (spark.read.parquet(f"{path}/members")
                    .groupBy("cell").agg(F.count("*").alias("n"))

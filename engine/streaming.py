@@ -160,6 +160,31 @@ def _folded_batches(spark: SparkSession, table: str) -> list:
     return [r.batch for r in tbl.select("batch").distinct().collect()]
 
 
+def _folded_batches_from_partitions(spark: SparkSession,
+                                    table: str) -> list:
+    """Folded-batch ids for a table PARTITIONED by ``batch``
+    (compact_substring_index's windows layout): read from the catalog
+    partition listing — pure metadata, nothing scanned.  The windows
+    table is one row per token position, so the generic
+    _folded_batches (a distinct over the column) would put a
+    corpus-sized scan into every streaming trigger.  Falls back to
+    _folded_batches for a non-partitioned table (which raises on a
+    batch-less one — same contract)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        rows = spark.sql(f"SHOW PARTITIONS {table}").collect()
+    except AnalysisException:
+        return _folded_batches(spark, table)
+    out = []
+    for r in rows:
+        for kv in r[0].split("/"):
+            k, _, v = kv.partition("=")
+            if k == "batch":
+                out.append(int(v))
+    return out
+
+
 def _read_index_table(spark: SparkSession, table: str, batch_id):
     """A bucketed index table read for a streaming hot loop, minus the
     replaying batch's OWN rows (ADVICE r5 medium): if
@@ -713,8 +738,8 @@ def _substring_one_batch(spark: SparkSession, batch_df, batch_id,
         .persist())
     use_tbl = (bucketed_name is not None and
                spark.catalog.tableExists(f"{bucketed_name}_windows"))
-    folded = (_folded_batches(spark, f"{bucketed_name}_windows")
-              if use_tbl else [])
+    folded = (_folded_batches_from_partitions(
+        spark, f"{bucketed_name}_windows") if use_tbl else [])
     tail = _stream_index_tail(spark, idx, ["doc_id", "pos", "wkey"],
                               batch_id, folded)
     local = wins_arr if tail is None else tail.unionAll(wins_arr)

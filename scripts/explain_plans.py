@@ -120,18 +120,29 @@ def main() -> int:
     subplan = explain_str(fn(spark, "/root/testdata/sf0.001"))
     m_scan = re.search(r"\(\d+\) Scan parquet", subplan)
     m_gen = re.search(r"\(\d+\) Generate\b", subplan)
-    if m_scan and m_gen:
+    if not (m_scan and m_gen):
+        failures.append("dedup_substring: plan anchors missing "
+                        "(scan/explode) — the de-fusion guard cannot "
+                        "run")
+    else:
+        # formatted mode numbers detail blocks in execution order, so
+        # the segment between the scan's and the Generate's detail
+        # headers holds every operator the doubling passes through.
+        # The exchange KIND lives on the block's `Arguments:` line
+        # (the header is just `(n) Exchange`) — read it from there.
         between = subplan[m_scan.start():m_gen.start()]
-        # the only allowed Exchange before the window explode is the
-        # explicit parallelism repartition (RoundRobin)
-        bad = [e for e in re.findall(
-            r"\(\d+\) Exchange (\w+)", between)
-            if not e.startswith("RoundRobin")]
-        if bad:
+        kinds = re.findall(
+            r"\(\d+\) Exchange\n(?:[^\n]+\n)*?Arguments: (\w+)",
+            between)
+        # exactly the explicit parallelism repartition is expected;
+        # an empty match list means the regex lost the plan format —
+        # fail loudly instead of passing vacuously
+        if kinds != ["RoundRobinPartitioning"]:
             failures.append(
-                f"dedup_substring: doubling rounds de-fused — "
-                f"non-repartition exchange(s) {bad} between scan and "
-                f"window explode")
+                f"dedup_substring: expected exactly the RoundRobin "
+                f"repartition between scan and window explode "
+                f"(doubling must stay one fused projection), found "
+                f"exchange kinds {kinds}")
 
     # --- boilerplate/pdf operators: pure row maps (no shuffle) -----------
     from engine.boilerplate import strip_boilerplate

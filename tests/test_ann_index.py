@@ -101,6 +101,26 @@ def test_ann_index_append_keeps_pruning_and_measures_drift(
             spark.read.parquet(f"{path}/cell_counts").collect()}
     assert side == truth
 
+    # reconciliation: a STALE sidecar (the crash window between a
+    # members append and its sidecar overwrite) must self-heal on the
+    # next append — the footer-count check sees the mismatch and
+    # triggers the one-off recount instead of compounding the error
+    stale = dict(side)
+    some_cell = next(iter(stale))
+    stale[some_cell] -= 5
+    (spark.createDataFrame(sorted(stale.items()), "cell long, n long")
+     .coalesce(1).write.mode("overwrite")
+     .parquet(f"{path}/cell_counts"))
+    more2 = (emb.filter(F.col("vec_id") == 2)
+             .select((F.col("vec_id") + 300000).alias("vec_id"), "e"))
+    append_to_ann_index(more2, path)
+    truth = {r.cell: r.n for r in
+             spark.read.parquet(f"{path}/members")
+             .groupBy("cell").agg(F.count("*").alias("n")).collect()}
+    side = {r.cell: r.n for r in
+            spark.read.parquet(f"{path}/cell_counts").collect()}
+    assert side == truth
+
 
 def test_ann_index_sampled_fit_and_wider_probe(spark, tmp_path):
     """train_limit flows through; widening nprobe can only add
