@@ -296,7 +296,8 @@ def stream_clean(spark: SparkSession, input_path: str, work_dir: str,
                  gopher_gate: bool = False,
                  bucketed_name: str | None = None,
                  plan_probe: list | None = None,
-                 sketch: str = "minhash"):
+                 sketch: str = "minhash",
+                 substring_cut: bool = False):
     """STREAMING corpus cleaning — the continuously-landing form of
     engine/cleaning.py's batch job, composed from the family's
     streaming members: per micro-batch,
@@ -307,6 +308,14 @@ def stream_clean(spark: SparkSession, input_path: str, work_dir: str,
         → near-dup removal (MinHash vs the survivor band index +
           within batch; the arriving LARGER-id member of a confirmed
           pair is dropped)
+        → [ExactSubstr cut (``substring_cut=True``): duplicated
+          >=20-token window occurrences of the SURVIVORS are cut
+          position-wise against the persisted window index of shipped
+          text ∪ the batch itself — the indexed side (earlier text)
+          is always the keeper, and within the batch the smallest
+          (doc_id, pos) occurrence keeps, overlap-protected like the
+          batch stage; the REBUILT text's windows join the index, so
+          future batches dedup against exactly what shipped]
         → PII scrub → cleaned parquet + one metrics row,
 
     and the batch's SURVIVORS (only) join the persisted index, so a
@@ -346,7 +355,8 @@ def stream_clean(spark: SparkSession, input_path: str, work_dir: str,
         _clean_one_batch(spark, batch_df, batch_id, work_dir,
                          gopher_gate=gopher_gate,
                          bucketed_name=bucketed_name,
-                         plan_probe=plan_probe, sketch=sketch)
+                         plan_probe=plan_probe, sketch=sketch,
+                         substring_cut=substring_cut)
 
     writer = (stream.writeStream.foreachBatch(_process)
               .option("checkpointLocation", checkpoint_path))
@@ -355,11 +365,86 @@ def stream_clean(spark: SparkSession, input_path: str, work_dir: str,
     return writer.start()
 
 
+def _substring_cut_batch(spark: SparkSession, survivors, batch_id,
+                         idx: str, min_len: int = 20):
+    """ExactSubstr cut of one stream_clean micro-batch's survivors
+    against the persisted window index — the streaming form of
+    engine/cleaning.substring_cut_stage.  Keeper rule: an occurrence
+    whose window key is ALREADY INDEXED is always cut (the indexed —
+    earlier-shipped — text is the keeper); within the batch the
+    smallest (doc_id, pos) occurrence keeps, with the batch stage's
+    overlap protection (a position inside any keeper occurrence is
+    never cut).  Returns (rebuilt, wins_out, caches): the rewritten
+    (doc_id, text, n_tokens_cut) frame for EVERY survivor (normalized
+    token stream, like the batch stage), the window rows of the
+    REBUILT text (what actually ships is what future batches dedup
+    against), and the persisted frames for the caller to release."""
+    from engine.analytics import (_SPARK_TOKS,
+                                  _substring_window_md5_expr)
+
+    toks_all = (survivors.select("doc_id",
+                                 F.expr(_SPARK_TOKS).alias("t"))
+                .persist())
+    wins_arr = (toks_all.filter(F.expr(f"size(t) >= {min_len}"))
+                .select("doc_id", F.posexplode(
+                    F.expr(_substring_window_md5_expr(min_len)))
+                    .alias("pos", "wkey"))
+                .select("doc_id",
+                        F.col("pos").cast("long").alias("pos"), "wkey")
+                .persist())
+    keep = wins_arr.groupBy("wkey").agg(
+        F.min(F.struct("doc_id", "pos")).alias("k"),
+        F.count("*").alias("nb"))
+    w2 = wins_arr.join(keep, "wkey")
+    tail = _stream_index_tail(spark, f"{idx}/windows", ["wkey"],
+                              batch_id, [])
+    if tail is not None:
+        w2 = w2.join(tail.distinct().withColumn("in_idx", F.lit(1)),
+                     "wkey", "left")
+    else:
+        w2 = w2.withColumn("in_idx", F.lit(None).cast("int"))
+    dup = (F.col("nb") >= 2) | F.col("in_idx").isNotNull()
+    is_keep = (F.col("in_idx").isNull()
+               & (F.col("k.doc_id") == F.col("doc_id"))
+               & (F.col("k.pos") == F.col("pos")))
+    s2 = w2.filter(dup).select("doc_id", "pos",
+                               is_keep.alias("is_keep"))
+    cover = s2.select(
+        "doc_id", "is_keep",
+        F.explode(F.expr(
+            f"sequence(pos, pos + {min_len} - 1)")).alias("p"))
+    cut = (cover.groupBy("doc_id", "p")
+           .agg(F.max(F.col("is_keep").cast("int")).alias("any_keep"))
+           .filter(F.col("any_keep") == 0))
+    cuts = cut.groupBy("doc_id").agg(F.collect_set("p").alias("c"))
+    rebuilt_txt = (
+        "array_join(filter(transform(t, (x, i) -> "
+        "IF(array_contains(c, cast(i as bigint)), null, x)), "
+        "x -> x is not null), ' ')")
+    rebuilt = (toks_all.join(cuts, "doc_id", "left")
+               .withColumn("c", F.coalesce(
+                   "c", F.expr("array()").cast("array<bigint>")))
+               .select("doc_id",
+                       F.expr(rebuilt_txt).alias("text"),
+                       F.size("c").cast("long").alias("n_tokens_cut")))
+    wins_out = (rebuilt
+                .select("doc_id", F.expr(_SPARK_TOKS).alias("t"))
+                .filter(F.expr(f"size(t) >= {min_len}"))
+                .select("doc_id", F.posexplode(
+                    F.expr(_substring_window_md5_expr(min_len)))
+                    .alias("pos", "wkey"))
+                .select("doc_id",
+                        F.col("pos").cast("long").alias("pos"),
+                        "wkey"))
+    return rebuilt, wins_out, [toks_all, wins_arr]
+
+
 def _clean_one_batch(spark: SparkSession, batch_df, batch_id,
                      work_dir: str, gopher_gate: bool = False,
                      bucketed_name: str | None = None,
                      plan_probe: list | None = None,
-                     sketch: str = "minhash") -> None:
+                     sketch: str = "minhash",
+                     substring_cut: bool = False) -> None:
     """One stream_clean micro-batch — module-level so the replay test
     can re-invoke it with the same batch_id and assert the rewrite is
     identical (the crash-after-index-write/before-commit window).
@@ -435,7 +520,27 @@ def _clean_one_batch(spark: SparkSession, batch_df, batch_id,
     survivors = exact.join(drop, "doc_id", "left_anti").persist()
     n_surv = survivors.count()
 
-    cleaned = pii_scrub_text(survivors.select("doc_id", "text"))
+    cut_caches: list = []
+    tokens_cut = None
+    if substring_cut:
+        # near-dup state (below) indexes the PRE-cut survivor text —
+        # that stage's own view; the window state indexes the POST-cut
+        # text, i.e. exactly what ships.  The flag is a stream-
+        # lifetime choice (like ``sketch``): toggling it mid-stream
+        # changes the metrics schema and leaves window-index gaps.
+        rebuilt, wins_out, cut_caches = _substring_cut_batch(
+            spark, survivors.select("doc_id", "text"), batch_id, idx)
+        rebuilt = rebuilt.persist()
+        cut_caches.append(rebuilt)
+        tokens_cut = int(rebuilt.agg(
+            F.coalesce(F.sum("n_tokens_cut"), F.lit(0))).first()[0])
+        wins_out.write.mode("overwrite") \
+            .parquet(f"{idx}/windows/batch={batch_id}")
+        cleaned_src = rebuilt.select("doc_id", "text")
+    else:
+        cleaned_src = survivors.select("doc_id", "text")
+
+    cleaned = pii_scrub_text(cleaned_src)
     cleaned.write.mode("overwrite") \
         .parquet(f"{out_dir}/batch={batch_id}")
     survivors.select("content_hash", "doc_id").write \
@@ -449,14 +554,21 @@ def _clean_one_batch(spark: SparkSession, batch_df, batch_id,
     if chunks_arr is not None:
         chunks_arr.join(surv_ids, "doc_id", "left_semi").write \
             .mode("overwrite").parquet(f"{idx}/chunks/batch={batch_id}")
-    spark.createDataFrame(
-        [(batch_id, n_in, n_gated, n_exact, n_surv)],
-        "batch_id long, rows_in long, after_gates long, "
-        "after_exact_dedup long, after_neardup_removal long") \
-        .coalesce(1).write.mode("overwrite") \
+    if tokens_cut is None:
+        metrics_row = spark.createDataFrame(
+            [(batch_id, n_in, n_gated, n_exact, n_surv)],
+            "batch_id long, rows_in long, after_gates long, "
+            "after_exact_dedup long, after_neardup_removal long")
+    else:
+        metrics_row = spark.createDataFrame(
+            [(batch_id, n_in, n_gated, n_exact, n_surv, tokens_cut)],
+            "batch_id long, rows_in long, after_gates long, "
+            "after_exact_dedup long, after_neardup_removal long, "
+            "substring_tokens_cut long")
+    metrics_row.coalesce(1).write.mode("overwrite") \
         .parquet(f"{work_dir}/metrics/batch={batch_id}")
     for df in (batch, gated, exact, dist_arr, bands_arr, chunks_arr,
-               survivors):
+               survivors, *cut_caches):
         if df is not None:
             df.unpersist()
 

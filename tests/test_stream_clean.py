@@ -60,3 +60,105 @@ def test_stream_clean_full_funnel_across_batches(spark, tmp_path):
     again = spark.read.parquet(f"{work}/cleaned")
     assert {r.doc_id for r in again.select("doc_id").collect()} == ids
     assert again.count() == 4
+
+
+def _cut_fixture_docs():
+    """Gate-passing docs sharing long runs below the near-dup Jaccard
+    threshold.  S = a 25-token run (content-word edges, stopwords
+    inside — the stopword ratio also helps the C4 gate)."""
+    S = ["s0", "the", "s1", "s2", "the", "s3", "s4", "the", "s5",
+         "s6", "the", "s7", "s8", "the", "s9", "s10", "the", "s11",
+         "s12", "the", "s13", "s14", "the", "s15", "s16"]
+
+    def filler(prefix, n):
+        out = []
+        for i in range(n):
+            out.append(f"{prefix}{i}")
+            if i % 5 == 4:
+                out.append("the")
+        return out
+
+    fb = filler("b", 60)
+    # a 22-token slice of doc B's filler with content-word edges
+    # (positions 12..33 of fb: b10 ... b27 area), used by doc D later
+    brun = fb[12:34]
+    assert not brun[0] == "the" and not brun[-1] == "the"
+    docs = {
+        "A": filler("a", 60) + S,
+        "B": fb + S,
+        "C": filler("c", 66) + S,
+        "D": filler("d", 60) + brun,
+    }
+    return docs, S, brun
+
+
+def test_stream_clean_substring_cut_stage(spark, tmp_path):
+    """stream_clean(substring_cut=True): duplicated >=20-token runs of
+    arriving survivors are cut against the window index of SHIPPED
+    text (indexed side is always the keeper); the rebuilt text's
+    windows join the index, so later batches dedup against exactly
+    what shipped; metrics carry substring_tokens_cut; replays rewrite
+    identically."""
+    from engine.streaming import _clean_one_batch
+
+    docs, S, brun = _cut_fixture_docs()
+    sj, bj = " ".join(S), " ".join(brun)
+    work = str(tmp_path / "work")
+
+    b0 = spark.createDataFrame([(1, " ".join(docs["A"]))],
+                               "doc_id long, text string")
+    _clean_one_batch(spark, b0, 0, work, substring_cut=True)
+    out0 = {r.doc_id: r.text for r in
+            spark.read.parquet(f"{work}/cleaned/batch=0").collect()}
+    assert sj in out0[1]                 # first occurrence ships intact
+
+    b1 = spark.createDataFrame([(2, " ".join(docs["B"]))],
+                               "doc_id long, text string")
+    _clean_one_batch(spark, b1, 1, work, substring_cut=True)
+    out1 = {r.doc_id: r.text for r in
+            spark.read.parquet(f"{work}/cleaned/batch=1").collect()}
+    assert sj not in out1[2]             # S cut vs the shipped index
+    assert bj in out1[2]                 # B's own filler ships
+    m1 = spark.read.parquet(f"{work}/metrics/batch=1").first()
+    assert m1.substring_tokens_cut >= 25
+    assert m1.after_neardup_removal == 1  # cut is a rewrite, not a drop
+
+    # batch 2: C repeats S (still indexed via A), D repeats a run of
+    # B's SHIPPED text — both cut; B's cleaned output keeps its copy
+    b2 = spark.createDataFrame(
+        [(3, " ".join(docs["C"])), (4, " ".join(docs["D"]))],
+        "doc_id long, text string")
+    _clean_one_batch(spark, b2, 2, work, substring_cut=True)
+    out2 = {r.doc_id: r.text for r in
+            spark.read.parquet(f"{work}/cleaned/batch=2").collect()}
+    assert sj not in out2[3]
+    assert bj not in out2[4]
+    m2 = spark.read.parquet(f"{work}/metrics/batch=2").first()
+    assert m2.substring_tokens_cut >= 25 + 22
+
+    # replay safety: re-running batch 1 (its window-index partition
+    # already written) rewrites cleaned/metrics byte-identically
+    before = sorted((r.doc_id, r.text) for r in
+                    spark.read.parquet(f"{work}/cleaned/batch=1")
+                    .collect())
+    _clean_one_batch(spark, b1, 1, work, substring_cut=True)
+    after = sorted((r.doc_id, r.text) for r in
+                   spark.read.parquet(f"{work}/cleaned/batch=1")
+                   .collect())
+    assert after == before
+    assert spark.read.parquet(f"{work}/metrics/batch=1") \
+        .first().substring_tokens_cut == m1.substring_tokens_cut
+
+    # end-to-end through the streaming surface as well
+    inp = str(tmp_path / "in")
+    spark.createDataFrame([(21, " ".join(docs["A"]))],
+                          "doc_id long, text string") \
+        .coalesce(1).write.mode("append").parquet(inp)
+    work2 = str(tmp_path / "work2")
+    q = stream_clean(spark, inp, work2, str(tmp_path / "cp2"),
+                     substring_cut=True)
+    q.awaitTermination(120)
+    got = spark.read.parquet(f"{work2}/cleaned").first()
+    assert got.doc_id == 21 and sj in got.text
+    assert spark.read.parquet(f"{work2}/metrics") \
+        .first().substring_tokens_cut == 0
