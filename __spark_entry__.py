@@ -67,6 +67,7 @@ _PRIORITY_FIRST = [
     # new in r6 (no prior driver row can exist):
     "dedup_substring",
     "dedup_substring_cut",
+    "doc_embedding_hashed",
     # not covered by the driver's 50-row budget in r5 (all were green in
     # r4 or earlier and judge-re-verified in r5; rotation gives each a
     # fresh driver row at least every other round — VERDICT r5 item 2):

@@ -136,7 +136,7 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         "dedup_simhash", "simhash_hamming_candidates",
         "simhash128_hamming_candidates",
         "dedup_embedding_cosine", "dedup_span_exact", "dedup_substring",
-        "dedup_substring_cut",
+        "dedup_substring_cut", "doc_embedding_hashed",
         "ann_cosine_topk", "ann_lsh_top1",
         "ann_ivf_topk", "ann_ivf_sampled_topk", "winnowing_overlap",
         "decontaminate_ngram", "gopher_repetition",

@@ -3294,6 +3294,151 @@ def q_embedding_norm_stats(spark, sf_dir):
                  F.round(F.avg(l2), 3).alias("avg_l2")))
 
 
+_HASHED_EMB_D = 256
+
+_DUCK_DOC_EMB = f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+  WHERE len({_DUCK_TOKS}) >= 1
+), bk AS (
+  SELECT doc_id, len(t) AS n_tokens,
+         list_transform(t, x -> {_duck_h64('x')} % {_HASHED_EMB_D}) AS b
+  FROM toks
+), dfb AS (
+  SELECT ub AS bkt, COUNT(DISTINCT doc_id) AS dfb
+  FROM (SELECT doc_id, unnest(list_distinct(b)) AS ub FROM bk)
+  GROUP BY ub
+), nn AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM toks
+), dfd AS (
+  SELECT list(CAST(COALESCE(d.dfb, 0) AS DOUBLE) ORDER BY r.i) AS dfl
+  FROM range(0, {_HASHED_EMB_D}) r(i) LEFT JOIN dfb d ON d.bkt = r.i
+), wt AS (
+  SELECT list_transform(dfd.dfl, x -> ln((nn.n + 1.0) / (x + 1.0))) AS w
+  FROM dfd, nn
+), vec AS (
+  SELECT doc_id, n_tokens,
+         list_transform(range(0, {_HASHED_EMB_D}), i ->
+           CAST(len(list_filter(b, x -> x = i)) AS DOUBLE)
+           * wt.w[i + 1]) AS v
+  FROM bk, wt
+), nv AS (
+  SELECT doc_id, n_tokens, v,
+         sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum'))
+           AS nrm
+  FROM vec
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       array_to_string(list_transform(v, x ->
+         CASE WHEN nrm = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(ROUND(x / nrm * 1000000) AS BIGINT) END), ',')
+         AS e_csv
+FROM nv
+"""
+
+
+def _hashed_vec_expr(dims: int) -> str:
+    """SQL expression over (b array<bigint> bucket ids, m map
+    bucket→df, nn long doc count): the UNNORMALIZED hashed TF-IDF
+    vector — per bucket, (term count) × ln((N+1)/(df+1)).  The O(D·n)
+    per-row count is the price of staying a pure projection; a
+    production sparse format trades it for an explode+groupBy
+    shuffle (documented in doc_hashed_embeddings)."""
+    return (f"transform(sequence(0, {dims - 1}), i -> "
+            f"cast(size(filter(b, x -> x = i)) as double) * "
+            f"ln((cast(nn as double) + 1.0d) / "
+            f"(cast(coalesce(element_at(m, i), 0) as double) + 1.0d)))")
+
+
+def doc_hashed_embeddings(docs, dims: int = _HASHED_EMB_D):
+    """(vec_id, e) — L2-normalized hashed TF-IDF document embeddings
+    from TEXT ALONE: token → md5-60 bucket (``dims`` buckets), term
+    counts weighted by BUCKET-level idf (df computed per bucket, so
+    the weight table is a ``dims``-row broadcast, never a token-keyed
+    join), L2-normalized.  The bridge that lets the embedding family
+    (semdedup, dedup_embedding_cosine, ANN) run on corpora that ship
+    no embedding column: token-multiset near-duplicates — e.g. a
+    PERMUTED copy, invisible to exact dedup (different bytes) AND to
+    shingle MinHash (different 3-grams) — land at cosine ~1.0, while
+    this corpus's unrelated documents top out near 0.93 at D=256
+    (below semdedup's τ=0.95; the honest dial: raise ``dims`` as
+    vocabulary grows — measured: plain TF without idf saturates at
+    0.999 natural cosine from stopword mass, which is why the idf
+    weighting is not optional).
+
+    Zero-norm documents (every token in an every-doc bucket) are
+    DROPPED — a zero vector has no direction to compare.
+
+    Scale shape: one distinct-bucket explode + D-row groupBy for df
+    (combinable), the weight map broadcast back, then the vector
+    build is a single fused projection (O(D·n) per row — the pure-
+    projection trade; a sparse (bucket, weight) pair format with an
+    explode+groupBy is the alternative once D·n dominates)."""
+    spark = docs.sparkSession
+    h60 = ("cast(conv(substr(md5(cast(x as binary)), 18, 15), 16, 10) "
+           "as bigint)")
+    toks = (docs.select("doc_id", F.expr(_SPARK_TOKS).alias("t"))
+            .filter(F.expr("size(t) >= 1"))
+            .repartition(spark.sparkContext.defaultParallelism)
+            .withColumn("b", F.expr(
+                f"transform(t, x -> {h60} % {dims})")))
+    ndf = toks.agg(F.count("*").alias("nn"))
+    dfb = (toks.select("doc_id",
+                       F.explode(F.expr("array_distinct(b)")).alias("bkt"))
+           .groupBy("bkt").agg(F.count("*").alias("dfb")))
+    wmap = dfb.agg(F.map_from_arrays(
+        F.collect_list("bkt"), F.collect_list("dfb")).alias("m"))
+    base = (toks.crossJoin(F.broadcast(wmap))
+            .crossJoin(F.broadcast(ndf)))
+    # bind v then norm (house CollapseProject discipline: an inlined
+    # norm would re-run the O(D·n) vector build once per component)
+    norm_e = ("element_at(transform(array({v}), v -> "
+              "element_at(transform(array(sqrt(aggregate(v, 0d, "
+              "(a, x) -> a + x * x))), nm -> "
+              "transform(v, x -> x / nm)), 1)), 1)")
+    return (base.select(
+        F.col("doc_id").alias("vec_id"),
+        F.expr(norm_e.format(v=_hashed_vec_expr(dims))).alias("e"),
+        F.expr(f"sqrt(aggregate({_hashed_vec_expr(dims)}, 0d, "
+               f"(a, x) -> a + x * x))").alias("_nrm"))
+        .filter(F.col("_nrm") > 0).drop("_nrm"))
+
+
+@register("doc_embedding_hashed", _DUCK_DOC_EMB)
+def q_doc_embedding_hashed(spark, sf_dir):
+    """Driver query: the hashed TF-IDF embedding, micro-unit-quantized
+    and CSV-serialized so the value hash compares scalar strings (the
+    per-component doubles are bit-deterministic: integer counts, one
+    ln over exact operands, fixed-order fold for the norm, single
+    round — both engines spell the identical expression)."""
+    h60 = ("cast(conv(substr(md5(cast(x as binary)), 18, 15), 16, 10) "
+           "as bigint)")
+    dims = _HASHED_EMB_D
+    toks = (_t(spark, sf_dir, "documents")
+            .select("doc_id", F.expr(_SPARK_TOKS).alias("t"))
+            .filter(F.expr("size(t) >= 1"))
+            .repartition(spark.sparkContext.defaultParallelism)
+            .withColumn("b", F.expr(
+                f"transform(t, x -> {h60} % {dims})")))
+    ndf = toks.agg(F.count("*").alias("nn"))
+    dfb = (toks.select("doc_id",
+                       F.explode(F.expr("array_distinct(b)")).alias("bkt"))
+           .groupBy("bkt").agg(F.count("*").alias("dfb")))
+    wmap = dfb.agg(F.map_from_arrays(
+        F.collect_list("bkt"), F.collect_list("dfb")).alias("m"))
+    base = (toks.crossJoin(F.broadcast(wmap))
+            .crossJoin(F.broadcast(ndf)))
+    csv_e = ("element_at(transform(array({v}), v -> "
+             "element_at(transform(array(sqrt(aggregate(v, 0d, "
+             "(a, x) -> a + x * x))), nm -> "
+             "concat_ws(',', transform(v, x -> "
+             "IF(nm = 0d, cast(0 as bigint), "
+             "cast(round(x / nm * 1000000.0d, 0) as bigint))))), 1)), 1)")
+    return base.select(
+        "doc_id", F.expr("size(t)").cast("long").alias("n_tokens"),
+        F.expr(csv_e.format(v=_hashed_vec_expr(dims))).alias("e_csv"))
+
+
 # ---------------------------------------------------------------------------
 # r5 tail — corpus-LM quality filter, TF-IDF key terms, deterministic
 # training-order shuffle

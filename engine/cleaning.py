@@ -343,6 +343,7 @@ def run_cleaning_job(spark: SparkSession, input_path: str,
                      model_gate: str = None,
                      embeddings_path: str = None,
                      semantic_policy: str = "clusters",
+                     semantic_hashed: bool = False,
                      substring_cut: bool = False) -> dict:
     """documents parquet in → cleaned corpus parquet out, one JSON-able
     metrics dict back (per-stage survivor counts reconcile the run the
@@ -363,6 +364,14 @@ def run_cleaning_job(spark: SparkSession, input_path: str,
         from engine.analytics import _lsh_embeddings
         emb = (_lsh_embeddings(spark.read.parquet(embeddings_path))
                .select("vec_id", "e"))
+    elif semantic_hashed:
+        # text-only corpora: hashed TF-IDF embeddings built from the
+        # input frame itself (the idf model trains on the full input
+        # corpus — the same train-on-the-frame contract as the lm
+        # gates).  Catches token-multiset near-dups (permuted copies)
+        # that exact dedup AND shingle MinHash both miss.
+        from engine.analytics import doc_hashed_embeddings
+        emb = doc_hashed_embeddings(docs)
     stages = cleaning_stages(docs, neardup_policy=neardup_policy,
                              gopher_gate=gopher_gate, sketch=sketch,
                              model_gate=model_gate,

@@ -35,6 +35,11 @@ def main() -> None:
                    help="embeddings parquet (vec_id == doc_id) — "
                         "enables the SemDeDup fourth gate over the "
                         "near-dup survivors")
+    p.add_argument("--semantic-dedup-hashed", action="store_true",
+                   help="SemDeDup gate WITHOUT an embeddings file: "
+                        "hashed TF-IDF document embeddings built from "
+                        "the corpus text itself (catches permuted/"
+                        "token-multiset near-dups)")
     p.add_argument("--semantic-policy", default="clusters",
                    choices=["clusters", "pairwise"],
                    help="clusters: one survivor per semantic-dup "
@@ -65,6 +70,7 @@ def main() -> None:
                                model_gate=args.model_gate,
                                embeddings_path=args.semantic_dedup,
                                semantic_policy=args.semantic_policy,
+                               semantic_hashed=args.semantic_dedup_hashed,
                                substring_cut=args.substring_cut)
     print(json.dumps(metrics))
 

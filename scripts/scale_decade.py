@@ -54,6 +54,7 @@ SUITE = [
     "dup_ngram_fraction", "dsir_importance", "top_ngrams",
     "corpus_stats", "source_overlap_matrix", "mixture_weights",
     "lm2_perplexity_filter", "dedup_substring", "dedup_substring_cut",
+    "doc_embedding_hashed",
 ]
 if os.environ.get("SCALE_SUITE"):  # subset override for re-runs
     SUITE = os.environ["SCALE_SUITE"].split(",")

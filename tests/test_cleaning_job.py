@@ -260,3 +260,45 @@ def test_cleaning_job_substring_cut_stage(spark, tmp_path):
     assert joined_shared in rows[1].text        # canonical keeper
     assert joined_shared not in rows[2].text    # cut from the copy
     assert rows[2].n_tokens_cut == 26 and rows[1].n_tokens_cut == 0
+
+
+def test_cleaning_job_hashed_semantic_catches_permuted_copy(spark, tmp_path):
+    """--semantic-dedup-hashed: a PERMUTED copy of a document (same
+    token multiset, different order) passes exact dedup (different
+    bytes) AND shingle MinHash (different 3-grams), but its hashed
+    TF-IDF embedding is identical up to normalization — the semantic
+    gate drops it, keeping the original (min doc_id)."""
+    base_out = str(tmp_path / "plain0")
+    base = run_cleaning_job(spark, f"{SF}/documents.parquet", base_out)
+    src = sorted(r.doc_id for r in
+                 spark.read.parquet(base_out).select("doc_id").collect())[0]
+    src_text = spark.read.parquet(f"{SF}/documents.parquet") \
+        .filter(F.col("doc_id") == src).first().text
+    permuted = " ".join(sorted(src_text.lower().split()))
+    assert permuted != src_text.lower()
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    inp = str(tmp_path / "docs_perm")
+    docs.unionByName(spark.createDataFrame(
+        [(900, permuted, "en", "synthetic", len(permuted))],
+        docs.schema)).write.parquet(inp)
+
+    # the permuted copy SURVIVES the token-level pipeline
+    plain_out = str(tmp_path / "plain")
+    m0 = run_cleaning_job(spark, inp, plain_out)
+    plain_ids = {r.doc_id for r in
+                 spark.read.parquet(plain_out).select("doc_id").collect()}
+    assert 900 in plain_ids and src in plain_ids
+    assert m0["rows_out"] == base["rows_out"] + 1
+
+    # ... and the hashed semantic gate removes exactly it
+    sem_out = str(tmp_path / "sem")
+    m1 = run_cleaning_job(spark, inp, sem_out, semantic_hashed=True)
+    sem_ids = {r.doc_id for r in
+               spark.read.parquet(sem_out).select("doc_id").collect()}
+    assert src in sem_ids and 900 not in sem_ids
+    assert (m1["after_neardup_removal"]
+            >= m1["after_semantic_dedup"] == m1["rows_out"])
+    # at D=256 + idf the natural corpus tops out near cosine 0.93
+    # (< tau 0.95) — the planted permutation is the only removal
+    assert sem_ids == plain_ids - {900}
