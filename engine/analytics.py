@@ -1641,6 +1641,34 @@ GROUP BY g.doc_id
 """
 
 
+def decontaminate_gate(docs, bench, n: int = None):
+    """Benchmark decontamination as an ACTING gate (the flag→act step
+    q_decontaminate_ngram's flagging points at, like substring_cut is
+    to dedup_substring): drop every document of ``docs`` sharing any
+    ``n``-token n-gram with the ``bench`` frame (doc_id, text — the
+    evaluation suite).  Same scale shape as the query: the benchmark
+    gram set is eval-suite-sized, so it is DISTINCT-ed and BROADCAST
+    against the corpus gram stream — one corpus scan, grams travel as
+    8-byte hashes, and the drop is a broadcast left-anti of flagged
+    ids."""
+    if n is None:
+        n = _DECON_N
+
+    def _grams(df):
+        toks = (df.select("doc_id", F.expr(_SPARK_TOKS).alias("t"))
+                .filter(F.expr(f"size(t) >= {n}")))
+        gram_expr = (f"transform(sequence(1, size(t) - {n} + 1), "
+                     f"i -> array_join(slice(t, i, {n}), ' '))")
+        return (toks.select("doc_id",
+                            F.explode(F.expr(gram_expr)).alias("g"))
+                .select("doc_id", F.expr(_h64("g")).alias("h")))
+
+    bench_h = _grams(bench).select("h").distinct()
+    flagged = (_grams(docs).join(F.broadcast(bench_h), "h", "left_semi")
+               .select("doc_id").distinct())
+    return docs.join(F.broadcast(flagged), "doc_id", "left_anti")
+
+
 @register("decontaminate_ngram", _DUCK_DECON)
 def q_decontaminate_ngram(spark, sf_dir):
     """Benchmark DECONTAMINATION — the training-data op that removes

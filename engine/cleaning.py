@@ -289,7 +289,8 @@ def cleaning_stages(docs: DataFrame, neardup_policy: str = "pairwise",
                     model_gate: str = None,
                     semantic_dedup: DataFrame = None,
                     semantic_policy: str = "clusters",
-                    substring_cut: bool = False) -> dict:
+                    substring_cut: bool = False,
+                    decontaminate: DataFrame = None) -> dict:
     """The job's stage DataFrames, each boundary PERSISTED.
 
     Every stage output is referenced more than once downstream (exact
@@ -305,6 +306,13 @@ def cleaning_stages(docs: DataFrame, neardup_policy: str = "pairwise",
     gated = quality_language_gate(docs)
     if gopher_gate:
         gated = gopher_repetition_gate(gated)
+    if decontaminate is not None:
+        # benchmark decontamination rides the gate chain (a drop is a
+        # drop): documents sharing any 13-gram with the eval frame
+        # never reach the dedup stages; its removals land inside the
+        # after_quality_language funnel row
+        from engine.analytics import decontaminate_gate
+        gated = decontaminate_gate(gated, decontaminate)
     if model_gate:
         gated = model_quality_gate(gated, model_gate)
     gated = gated.persist()
@@ -344,7 +352,8 @@ def run_cleaning_job(spark: SparkSession, input_path: str,
                      embeddings_path: str = None,
                      semantic_policy: str = "clusters",
                      semantic_hashed: bool = False,
-                     substring_cut: bool = False) -> dict:
+                     substring_cut: bool = False,
+                     decontaminate_path: str = None) -> dict:
     """documents parquet in → cleaned corpus parquet out, one JSON-able
     metrics dict back (per-stage survivor counts reconcile the run the
     way the extraction pipeline's lineage rows do).
@@ -372,12 +381,15 @@ def run_cleaning_job(spark: SparkSession, input_path: str,
         # that exact dedup AND shingle MinHash both miss.
         from engine.analytics import doc_hashed_embeddings
         emb = doc_hashed_embeddings(docs)
+    decon = (spark.read.parquet(decontaminate_path)
+             if decontaminate_path is not None else None)
     stages = cleaning_stages(docs, neardup_policy=neardup_policy,
                              gopher_gate=gopher_gate, sketch=sketch,
                              model_gate=model_gate,
                              semantic_dedup=emb,
                              semantic_policy=semantic_policy,
-                             substring_cut=substring_cut)
+                             substring_cut=substring_cut,
+                             decontaminate=decon)
     obs = Observation()
     observations = [
         F.count(F.lit(1)).alias("rows_out"),

@@ -45,6 +45,10 @@ def main() -> None:
                    help="clusters: one survivor per semantic-dup "
                         "component (min doc_id); pairwise: drop each "
                         "pair's closer-to-centroid member (paper rule)")
+    p.add_argument("--decontaminate", default=None, metavar="EVAL_PATH",
+                   help="benchmark decontamination gate: drop docs "
+                        "sharing any 13-gram with this (doc_id, text) "
+                        "evaluation parquet")
     p.add_argument("--substring-cut", action="store_true",
                    help="rewrite stage: cut duplicated >=20-token "
                         "substrings position-wise (global-first "
@@ -71,7 +75,8 @@ def main() -> None:
                                embeddings_path=args.semantic_dedup,
                                semantic_policy=args.semantic_policy,
                                semantic_hashed=args.semantic_dedup_hashed,
-                               substring_cut=args.substring_cut)
+                               substring_cut=args.substring_cut,
+                               decontaminate_path=args.decontaminate)
     print(json.dumps(metrics))
 
 

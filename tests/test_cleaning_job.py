@@ -302,3 +302,45 @@ def test_cleaning_job_hashed_semantic_catches_permuted_copy(spark, tmp_path):
     # at D=256 + idf the natural corpus tops out near cosine 0.93
     # (< tau 0.95) — the planted permutation is the only removal
     assert sem_ids == plain_ids - {900}
+
+
+def test_cleaning_job_decontaminate_gate(spark, tmp_path):
+    """--decontaminate: documents sharing any 13-gram with the eval
+    frame are dropped (the acting form of decontaminate_ngram's
+    flagging); a synthetic eval vocabulary guarantees zero natural
+    collisions, so exactly the planted doc goes."""
+    frag = " ".join(f"benchq{i}" for i in range(13))
+    bench_path = str(tmp_path / "bench")
+    spark.createDataFrame(
+        [(0, f"the evaluation question reads {frag} and the answer "
+             "must be given in full sentences by the candidate")],
+        "doc_id long, text string").write.parquet(bench_path)
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    base_out = str(tmp_path / "plain")
+    base = run_cleaning_job(spark, f"{SF}/documents.parquet", base_out)
+    surv = sorted(r.doc_id for r in
+                  spark.read.parquet(base_out).select("doc_id").collect())
+    host = surv[0]
+    host_text = docs.filter(F.col("doc_id") == host).first().text
+
+    inp = str(tmp_path / "docs_con")
+    docs.unionByName(spark.createDataFrame(
+        [(901, host_text + " " + frag + " closing words the end",
+          "en", "synthetic", 1)],
+        docs.schema)).write.parquet(inp)
+
+    out = str(tmp_path / "decon")
+    m = run_cleaning_job(spark, inp, out,
+                         decontaminate_path=bench_path)
+    ids = {r.doc_id for r in
+           spark.read.parquet(out).select("doc_id").collect()}
+    assert 901 not in ids               # contaminated doc dropped
+    # the host document itself is untouched... unless the near-dup
+    # stage would have dropped one of (host, 901) anyway — with 901
+    # gone at the GATE, the host survives exactly as in the plain run
+    assert ids == {r.doc_id for r in
+                   spark.read.parquet(base_out)
+                   .select("doc_id").collect()}
+    assert m["after_quality_language"] \
+        == base["after_quality_language"]  # plant added then gated out
