@@ -242,6 +242,25 @@ def q_embedding_extract_family(spark, sf_dir):
 # group 3 — training-data pipeline operators
 # ---------------------------------------------------------------------------
 
+
+def _spread(df):
+    """Operator-head fan-out, CONDITIONAL (VERDICT r6 item 2): the
+    heavy per-row kernels downstream (doubling keys, shingle hashing,
+    vector builds) need the corpus spread over every core, but a
+    blanket ``repartition(defaultParallelism)`` is a full exchange of
+    corpus BYTES — at 100 TB that is the single avoidable scale cost
+    when the input already arrives wide (a 100 TB parquet scan yields
+    ~800k splits; the local test tables yield 1-2).  Skip the
+    exchange when the scan already has >= defaultParallelism
+    partitions; ``getNumPartitions()`` only builds the RDD plan, it
+    runs no job."""
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par)
+
+
 # identical tokenization both sides: split on single space, drop empties
 _SPARK_TOKS = "filter(split(lower(text), ' '), x -> length(x) > 0)"
 _DUCK_TOKS = ("list_filter(string_split(lower(text), ' '), "
@@ -378,8 +397,7 @@ def _hashed_shingles_df(docs):
     60-bit space makes cross-shingle collisions negligible at corpus
     scale (birthday bound ~2^30 distinct shingles per doc-pair
     comparison set), and both engines share the literal hash."""
-    docs = docs.repartition(
-        docs.sparkSession.sparkContext.defaultParallelism)
+    docs = _spread(docs)
     # materialize the token array once — inlining the split inside the
     # transform lambda would re-split the text per shingle (O(len²))
     toks = docs.select("doc_id", F.expr(_SPARK_TOKS).alias("toks"))
@@ -820,7 +838,7 @@ def _simhash_chunks(docs):
     it on a handful of tasks — the same move a cluster job makes when
     scan parallelism < core count."""
     spark = docs.sparkSession
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    docs = _spread(docs)
     # the first 16 hex chars (64 bits) of each token's MD5, decoded as
     # two 32-bit halves with conv() — ~2.6× faster than per-bit substr/
     # ascii parsing (string ops per bit dominate the interpreted cost);
@@ -1009,7 +1027,7 @@ def _simhash128_chunks(docs):
     which apply verbatim), with the token's FULL MD5 decoded into
     four bound 32-bit words."""
     spark = docs.sparkSession
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    docs = _spread(docs)
     words = ("array(" + ", ".join(
         f"cast(conv(substr(h, {1 + 8 * w}, 8), 16, 10) AS bigint)"
         for w in range(4)) + ")")
@@ -1578,8 +1596,7 @@ def q_gopher_repetition(spark, sf_dir):
     mode, computed as explode → two map-side-combinable aggregations
     over 8-byte bigram hashes — never a window sort.  Ratios are
     floor-rounded to 4 dp for cross-engine hash equality."""
-    toks = (_t(spark, sf_dir, "documents")
-            .repartition(spark.sparkContext.defaultParallelism)
+    toks = (_spread(_t(spark, sf_dir, "documents"))
             .select("doc_id", F.expr(_SPARK_TOKS).alias("t"))
             .filter(F.expr("size(t) >= 3")))
     tri_expr = ("transform(sequence(1, size(t) - 2), i -> "
@@ -1666,7 +1683,13 @@ def decontaminate_gate(docs, bench, n: int = None):
     bench_h = _grams(bench).select("h").distinct()
     flagged = (_grams(docs).join(F.broadcast(bench_h), "h", "left_semi")
                .select("doc_id").distinct())
-    return docs.join(F.broadcast(flagged), "doc_id", "left_anti")
+    # only the BENCH gram set is bounded (eval-suite-sized); the
+    # flagged-id set is bounded by corpus contamination, which is
+    # unbounded — a forced broadcast there can blow the driver on a
+    # heavily contaminated corpus (ADVICE r6 item 3), so the drop is
+    # a plain left-anti and AQE may still choose broadcast when the
+    # runtime size allows
+    return docs.join(flagged, "doc_id", "left_anti")
 
 
 @register("decontaminate_ngram", _DUCK_DECON)
@@ -1689,8 +1712,7 @@ def q_decontaminate_ngram(spark, sf_dir):
     BROADCAST against the corpus gram stream — one scan of the
     corpus, no shuffle of the big side; grams travel as 8-byte
     hashes."""
-    docs = (_t(spark, sf_dir, "documents")
-            .repartition(spark.sparkContext.defaultParallelism)
+    docs = (_spread(_t(spark, sf_dir, "documents"))
             .select("doc_id", "text"))
     inject = (docs.filter(F.col("doc_id") == 0)
               .select(F.expr(
@@ -1760,8 +1782,7 @@ def q_dedup_span_exact(spark, sf_dir):
     of whole documents show up as every span duplicated; partial
     overlap (shared boilerplate runs) is localized to the shared
     spans."""
-    toks = (_t(spark, sf_dir, "documents")
-            .repartition(spark.sparkContext.defaultParallelism)
+    toks = (_spread(_t(spark, sf_dir, "documents"))
             .select("doc_id", F.expr(_SPARK_TOKS).alias("t")))
     span_expr = (f"transform(sequence(0, cast(floor(size(t) / {_SPAN_W}) "
                  f"as int) - 1), i -> "
@@ -1861,7 +1882,8 @@ def _substring_window_keys(min_len: int) -> str:
     return expr
 
 
-def _substring_dup_starts(docs, min_len: int):
+def _substring_dup_starts(docs, min_len: int,
+                          cache_registry: list | None = None):
     """Shared first half of the substring-dedup family: (toks, starts)
     where ``toks`` is the persisted (doc_id, t) token frame and
     ``starts`` = (doc_id, pos, wkey) — every VERIFIED start of a
@@ -1877,12 +1899,17 @@ def _substring_dup_starts(docs, min_len: int):
     so the count and every downstream group travel as 16-byte binary
     keys, never the window string itself (the r2 strings-in-shuffle
     lesson)."""
-    spark = docs.sparkSession
-    toks = (docs
-            .repartition(spark.sparkContext.defaultParallelism)
+    toks = (_spread(docs)
             .select("doc_id", F.expr(_SPARK_TOKS).alias("t"))
-            .filter(F.expr(f"size(t) >= {min_len}"))
-            .persist())
+            .filter(F.expr(f"size(t) >= {min_len}")))
+    # persist ONLY when a caller owns the terminal action and can
+    # unpersist (passes a registry) — an unowned persist leaks blocks
+    # in any long-lived session (ADVICE r6 item 2).  Without the
+    # persist the two toks readers still share the repartition
+    # exchange (ReusedExchange); only the tokenize projection re-runs.
+    if cache_registry is not None:
+        toks = toks.persist()
+        cache_registry.append(toks)
     keys = toks.select(
         "doc_id",
         F.posexplode(F.expr(_substring_window_keys(min_len)))
@@ -1938,10 +1965,11 @@ def substring_dedup_spans(docs, min_len: int = _SUBSTR_L,
     persisted frame, and unpersist after the action — long-lived
     sessions otherwise accumulate blocks until the context cleaner
     runs (the ADVICE r4 LRU-lottery failure bench.py's clearCache
-    guards against)."""
-    toks, starts = _substring_dup_starts(docs, min_len)
-    if cache_registry is not None:
-        cache_registry.append(toks)
+    guards against).  With NO registry the token frame is simply not
+    persisted (ADVICE r6 item 2 — the registered driver queries pass
+    none, so they leak nothing); the two readers then share the
+    repartition exchange via ReusedExchange."""
+    toks, starts = _substring_dup_starts(docs, min_len, cache_registry)
     return _merge_span_islands(starts.select("doc_id", "pos"), min_len)
 
 
@@ -1998,13 +2026,17 @@ _DUCK_SUBSTR_CUT = _DUCK_SUBSTR_STARTS + f""", keep AS (
 SELECT t.doc_id,
        CAST(len(t.t) AS BIGINT) AS n_tokens,
        CAST(COALESCE(len(cu.c), 0) AS BIGINT) AS n_cut,
-       md5(COALESCE(array_to_string(
-         list_filter(
-           list_transform(range(1, len(t.t) + 1),
-             i -> CASE WHEN list_contains(COALESCE(cu.c, []), i - 1)
-                       THEN NULL ELSE t.t[i] END),
-           x -> x IS NOT NULL), ' '), '')) AS text_md5
-FROM toks t LEFT JOIN cuts cu ON cu.doc_id = t.doc_id
+       CASE WHEN COALESCE(len(cu.c), 0) = 0 THEN md5(d.text)
+            ELSE md5(COALESCE(array_to_string(
+              list_filter(
+                list_transform(range(1, len(t.t) + 1),
+                  i -> CASE WHEN list_contains(COALESCE(cu.c, []), i - 1)
+                            THEN NULL ELSE t.t[i] END),
+                x -> x IS NOT NULL), ' '), ''))
+       END AS text_md5
+FROM toks t
+JOIN documents d ON d.doc_id = t.doc_id
+LEFT JOIN cuts cu ON cu.doc_id = t.doc_id
 """
 
 
@@ -2026,13 +2058,17 @@ def substring_cut_rewrite(docs, min_len: int = _SUBSTR_L,
     interleavings (e.g. the test fixtures) the rewrite is a fixed
     point: re-detection finds zero spans.
 
-    Returns (doc_id, n_tokens, n_cut, text) for EVERY document
-    (unaffected docs report n_cut = 0), ``text`` = the rewritten
-    space-joined token stream.  Honest normalization note: the rewrite
-    operates on the SAME normalized token stream every dedup operator
-    keys on (_SPARK_TOKS — lowercased, whitespace-split), so case and
-    run-of-space information is not preserved; a byte-preserving cut
-    would carry per-token byte offsets through the tokenizer.
+    Returns (doc_id, n_tokens, n_cut, text) for EVERY document.
+    Docs with n_cut = 0 carry their ORIGINAL text byte-identically
+    (VERDICT r6 item 1a — the stage must not normalize documents it
+    cut nothing from); only TOUCHED docs get the rebuilt space-joined
+    token stream.  Honest normalization note, now confined to touched
+    docs: the rebuild operates on the SAME normalized token stream
+    every dedup operator keys on (_SPARK_TOKS — lowercased,
+    whitespace-split), so a touched doc loses case and run-of-space
+    information outside the cut too; substring_cut_bytes is the
+    byte-preserving variant that cuts the ORIGINAL character stream
+    via a position-annotated tokenizer.
 
     Scale shape: everything through the verified starts is
     _substring_dup_starts (one shuffle + candidate-only verify); the
@@ -2040,16 +2076,14 @@ def substring_cut_rewrite(docs, min_len: int = _SUBSTR_L,
     corpus); the cut sets ride a per-doc collect_set whose size is
     bounded by the doc's own length; the rebuild is one row-local
     indexed array filter."""
-    spark = docs.sparkSession
     # the final frame covers EVERY document (short docs report
     # n_cut = 0 with their text untouched); _substring_dup_starts'
-    # internal toks frame is length-filtered, so build the full one
-    all_toks = (docs
-                .repartition(spark.sparkContext.defaultParallelism)
-                .select("doc_id", F.expr(_SPARK_TOKS).alias("t")))
-    toks, starts = _substring_dup_starts(docs, min_len)
-    if cache_registry is not None:
-        cache_registry.append(toks)
+    # internal toks frame is length-filtered, so build the full one,
+    # carrying the ORIGINAL text through for the n_cut = 0 emit
+    all_toks = (_spread(docs)
+                .select("doc_id", "text",
+                        F.expr(_SPARK_TOKS).alias("t")))
+    toks, starts = _substring_dup_starts(docs, min_len, cache_registry)
     keep = starts.groupBy("wkey").agg(
         F.min(F.struct("doc_id", "pos")).alias("k"))
     s2 = (starts.join(keep, "wkey")
@@ -2072,13 +2106,19 @@ def substring_cut_rewrite(docs, min_len: int = _SUBSTR_L,
         "array_join(filter(transform(t, (x, i) -> "
         "IF(array_contains(c, cast(i as bigint)), null, x)), "
         "x -> x is not null), ' ')")
+    # n_cut = 0 → the ORIGINAL text, byte-identical (VERDICT r6 item
+    # 1a: at realistic dup rates ~99% of the corpus is untouched and
+    # must not lose case/spacing to a stage that cut nothing from
+    # it); only docs a cut actually touched get the rebuilt
+    # normalized token join
     return (all_toks.join(cuts, "doc_id", "left")
             .withColumn("c", F.coalesce(
                 "c", F.expr("array()").cast("array<bigint>")))
             .select("doc_id",
                     F.size("t").cast("long").alias("n_tokens"),
                     F.size("c").cast("long").alias("n_cut"),
-                    F.expr(rebuilt).alias("text")))
+                    F.when(F.size("c") == 0, F.col("text"))
+                    .otherwise(F.expr(rebuilt)).alias("text")))
 
 
 def substring_cut(docs, min_len: int = _SUBSTR_L):
@@ -2095,8 +2135,10 @@ def substring_cut(docs, min_len: int = _SUBSTR_L):
 def q_dedup_substring_cut(spark, sf_dir):
     """Driver query: substring_cut over the documents table.  NOTE the
     oracle universe: docs shorter than the minimum window length never
-    enter `wins` but still report (n_cut = 0, their own text hash) —
-    both engines read the full documents table for the final frame."""
+    enter `wins` but still report n_cut = 0 — and every n_cut = 0 doc
+    now hashes its ORIGINAL text (both engines join documents back
+    into the final frame), while touched docs hash the rebuilt
+    normalized token join."""
     return substring_cut(_t(spark, sf_dir, "documents"))
 
 
@@ -2355,8 +2397,7 @@ def q_fingerprint_winnowing(spark, sf_dir):
     the window pass (CollapseProject discipline, see _simhash_chunks).
     The cross-document groupBy(fp) overlap join lives in
     winnowing_overlap."""
-    docs = (_t(spark, sf_dir, "documents")
-            .repartition(spark.sparkContext.defaultParallelism)
+    docs = (_spread(_t(spark, sf_dir, "documents"))
             .select("doc_id", F.lower(F.col("text")).alias("txt")))
     return _winnow_fps(docs)
 
@@ -2426,8 +2467,7 @@ def q_winnowing_overlap(spark, sf_dir):
     degenerate fp contributes at most {cap}·{cap_m1}/2 pairs.
     """.format(min_shared=_WINNOW_MIN_SHARED, cap=_WINNOW_CAP,
                cap_m1=_WINNOW_CAP - 1)
-    docs = (_t(spark, sf_dir, "documents")
-            .repartition(spark.sparkContext.defaultParallelism)
+    docs = (_spread(_t(spark, sf_dir, "documents"))
             .select("doc_id", F.lower(F.col("text")).alias("txt")))
     # plant ids live strictly above the natural id space (ADVICE r3:
     # fixed +1M/+2M offsets would collide with natural ids once the
@@ -2518,7 +2558,7 @@ bits AS (
 def _lsh_embeddings(df):
     """(vec_id, e DOUBLE[]) with the CPU-bound projection spread across
     the session's cores (see _simhash_chunks)."""
-    return (df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    return (_spread(df)
             .withColumn(
                 "e", F.expr("transform(embedding, x -> cast(x AS double))")))
 
@@ -3405,9 +3445,8 @@ def doc_hashed_embeddings(docs, dims: int = _HASHED_EMB_D):
     spark = docs.sparkSession
     h60 = ("cast(conv(substr(md5(cast(x as binary)), 18, 15), 16, 10) "
            "as bigint)")
-    toks = (docs.select("doc_id", F.expr(_SPARK_TOKS).alias("t"))
-            .filter(F.expr("size(t) >= 1"))
-            .repartition(spark.sparkContext.defaultParallelism)
+    toks = (_spread(docs.select("doc_id", F.expr(_SPARK_TOKS).alias("t"))
+                     .filter(F.expr("size(t) >= 1")))
             .withColumn("b", F.expr(
                 f"transform(t, x -> {h60} % {dims})")))
     ndf = toks.agg(F.count("*").alias("nn"))
@@ -3419,17 +3458,25 @@ def doc_hashed_embeddings(docs, dims: int = _HASHED_EMB_D):
     base = (toks.crossJoin(F.broadcast(wmap))
             .crossJoin(F.broadcast(ndf)))
     # bind v then norm (house CollapseProject discipline: an inlined
-    # norm would re-run the O(D·n) vector build once per component)
+    # norm would re-run the O(D·n) vector build once per component).
+    # The zero-norm drop does NOT read the vector at all (the r6 form
+    # computed a second O(D·n) _nrm column — ADVICE r6 item 4; an
+    # e IS NOT NULL filter gets predicate-pushed BELOW the projection
+    # and duplicates the expression in the join condition, measured):
+    # norm = 0 iff every component is 0 iff every distinct bucket of
+    # the doc has df = N (weight ln((N+1)/(df+1)) = 0 exactly) — an
+    # O(n)-per-row predicate.  No IEEE underflow hazard: the smallest
+    # nonzero component is count·ln((N+1)/N) ≈ 1/N, whose square
+    # (1e-24 at N=1e12) is far above the 1e-323 subnormal floor.
+    zero = "forall(array_distinct(b), k -> coalesce(element_at(m, k), 0) = nn)"
     norm_e = ("element_at(transform(array({v}), v -> "
               "element_at(transform(array(sqrt(aggregate(v, 0d, "
               "(a, x) -> a + x * x))), nm -> "
               "transform(v, x -> x / nm)), 1)), 1)")
-    return (base.select(
+    return (base.filter(F.expr(f"not ({zero})"))
+            .select(
         F.col("doc_id").alias("vec_id"),
-        F.expr(norm_e.format(v=_hashed_vec_expr(dims))).alias("e"),
-        F.expr(f"sqrt(aggregate({_hashed_vec_expr(dims)}, 0d, "
-               f"(a, x) -> a + x * x))").alias("_nrm"))
-        .filter(F.col("_nrm") > 0).drop("_nrm"))
+        F.expr(norm_e.format(v=_hashed_vec_expr(dims))).alias("e")))
 
 
 @register("doc_embedding_hashed", _DUCK_DOC_EMB)
@@ -3442,10 +3489,9 @@ def q_doc_embedding_hashed(spark, sf_dir):
     h60 = ("cast(conv(substr(md5(cast(x as binary)), 18, 15), 16, 10) "
            "as bigint)")
     dims = _HASHED_EMB_D
-    toks = (_t(spark, sf_dir, "documents")
-            .select("doc_id", F.expr(_SPARK_TOKS).alias("t"))
-            .filter(F.expr("size(t) >= 1"))
-            .repartition(spark.sparkContext.defaultParallelism)
+    toks = (_spread(_t(spark, sf_dir, "documents")
+                     .select("doc_id", F.expr(_SPARK_TOKS).alias("t"))
+                     .filter(F.expr("size(t) >= 1")))
             .withColumn("b", F.expr(
                 f"transform(t, x -> {h60} % {dims})")))
     ndf = toks.agg(F.count("*").alias("nn"))
@@ -3992,8 +4038,7 @@ def q_top_ngrams(spark, sf_dir):
     stream against the BROADCAST winner set (k rows).  Shuffling the
     strings to rank them — the one-pass shape — is exactly what the
     minhash family's r2 regression showed doesn't scale."""
-    docs = _t(spark, sf_dir, "documents") \
-        .repartition(spark.sparkContext.defaultParallelism)
+    docs = _spread(_t(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", F.expr(_SPARK_TOKS).alias("toks"))
     shingled = toks.select(
         "doc_id", F.explode(F.expr(_SPARK_SHINGLE_EXPR)).alias("sh"))
@@ -4285,9 +4330,8 @@ def lm2_scores(docs):
     spark = docs.sparkSession
     h_of = ("cast(conv(substr(md5(cast({x} as binary)), 18, 15), "
             "16, 10) as bigint)")
-    base = (docs.select("doc_id", F.expr(_SPARK_TOKS).alias("t"))
-            .filter(F.expr("size(t) >= 1"))
-            .repartition(spark.sparkContext.defaultParallelism))
+    base = _spread(docs.select("doc_id", F.expr(_SPARK_TOKS).alias("t"))
+                   .filter(F.expr("size(t) >= 1")))
     uni = (base.select(F.explode("t").alias("tok"))
            .select(F.expr(h_of.format(x="tok")).alias("h1"))
            .groupBy("h1").agg(F.count("*").alias("c")))

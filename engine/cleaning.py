@@ -254,9 +254,10 @@ def substring_cut_stage(docs: DataFrame,
     except its global-first keeper — no document is dropped, their
     text shrinks.  Adds ``n_tokens_cut`` so the job's metrics can
     report total tokens removed.  Columns other than ``text`` pass
-    through; note the rewritten text is the lowercased token join
-    (the stream all dedup operators key on — documented in
-    substring_cut_rewrite)."""
+    through; UNTOUCHED documents (n_tokens_cut = 0) keep their
+    original text byte-identically (VERDICT r6 item 1a), and only
+    touched docs carry the lowercased token join (the stream all
+    dedup operators key on — documented in substring_cut_rewrite)."""
     from engine.analytics import _SUBSTR_L, substring_cut_rewrite
 
     rewritten = substring_cut_rewrite(

@@ -266,8 +266,16 @@ def append_to_ann_index(new_emb: DataFrame, path: str,
     # fall back to the one-off full recount.
     counts: dict = {}
     if _os.path.isdir(f"{path}/cell_counts"):
-        counts = {r.cell: r.n for r in
-                  spark.read.parquet(f"{path}/cell_counts").collect()}
+        # a crash MID-overwrite can leave the dir existing but holding
+        # no readable parquet (only _temporary / a torn part file) —
+        # an unreadable sidecar must degrade to the empty-counts
+        # reconciliation below, not crash every subsequent append
+        # (ADVICE r6 item 1)
+        try:
+            counts = {r.cell: r.n for r in
+                      spark.read.parquet(f"{path}/cell_counts").collect()}
+        except Exception:
+            counts = {}
     n_members = spark.read.parquet(f"{path}/members").count()
     if not counts or sum(counts.values()) + n_appended != n_members:
         # pre-sidecar index, torn sidecar, or a lost prior update:

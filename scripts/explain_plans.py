@@ -139,10 +139,46 @@ def main() -> int:
         # fail loudly instead of passing vacuously
         if kinds != ["RoundRobinPartitioning"]:
             failures.append(
-                f"dedup_substring: expected exactly the RoundRobin "
-                f"repartition between scan and window explode "
+                f"dedup_substring: narrow input — expected exactly the "
+                f"RoundRobin repartition between scan and window explode "
                 f"(doubling must stay one fused projection), found "
                 f"exchange kinds {kinds}")
+
+    # --- substring dedup, WIDE input: the operator-head repartition is
+    # CONDITIONAL (VERDICT r6 item 2) — when the scan already arrives
+    # with >= defaultParallelism partitions, _spread must NOT insert
+    # the RoundRobin exchange: zero exchanges between scan and explode.
+    from engine.analytics import substring_dedup_spans
+    old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+        docs_w = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet")
+        n_parts = docs_w.rdd.getNumPartitions()
+        if n_parts < spark.sparkContext.defaultParallelism:
+            failures.append(
+                f"wide-input fixture failed to materialize: scan has "
+                f"{n_parts} partitions — the conditional-repartition "
+                f"check cannot run")
+        else:
+            wplan = explain_str(substring_dedup_spans(docs_w))
+            m_scan = re.search(r"\(\d+\) Scan parquet", wplan)
+            m_gen = re.search(r"\(\d+\) Generate\b", wplan)
+            if not (m_scan and m_gen):
+                failures.append("dedup_substring wide: plan anchors "
+                                "missing (scan/explode)")
+            else:
+                wkinds = re.findall(
+                    r"\(\d+\) Exchange\n(?:[^\n]+\n)*?Arguments: (\w+)",
+                    wplan[m_scan.start():m_gen.start()])
+                if wkinds:
+                    failures.append(
+                        f"dedup_substring: wide input — expected ZERO "
+                        f"exchanges between scan and window explode "
+                        f"(the operator-head repartition must be "
+                        f"conditional), found {wkinds}")
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
 
     # --- boilerplate/pdf operators: pure row maps (no shuffle) -----------
     from engine.boilerplate import strip_boilerplate

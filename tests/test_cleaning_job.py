@@ -238,11 +238,15 @@ def test_cleaning_job_substring_cut_stage(spark, tmp_path):
                 out.append("the")
         return out
 
-    doc_a = filler("alpha", 35) + shared + filler("omega", 30)
+    # the keeper doc is MIXED-CASE with a double space: n_cut = 0
+    # survivors must come back byte-identical (VERDICT r6 item 1a),
+    # and case must not break the (lowercased-key) duplicate match
+    doc_a = filler("Alpha", 35) + shared + filler("Omega", 30)
+    text_a = " ".join(doc_a).replace("Alpha1 ", "Alpha1  ", 1)
     doc_b = filler("beta", 30) + shared + filler("gamma", 35)
     path = str(tmp_path / "docs")
     spark.createDataFrame(
-        [(1, " ".join(doc_a)), (2, " ".join(doc_b))],
+        [(1, text_a), (2, " ".join(doc_b))],
         "doc_id long, text string").write.parquet(path)
     os.rename(path, str(tmp_path / "documents.parquet"))
 
@@ -260,6 +264,9 @@ def test_cleaning_job_substring_cut_stage(spark, tmp_path):
     assert joined_shared in rows[1].text        # canonical keeper
     assert joined_shared not in rows[2].text    # cut from the copy
     assert rows[2].n_tokens_cut == 26 and rows[1].n_tokens_cut == 0
+    # the untouched keeper survives BYTE-IDENTICAL — mixed case and
+    # the double space included (VERDICT r6 item 1a)
+    assert rows[1].text == text_a
 
 
 def test_cleaning_job_hashed_semantic_catches_permuted_copy(spark, tmp_path):

@@ -203,3 +203,46 @@ def test_substring_cut_keeps_canonical_occurrence(spark, tmp_path):
     assert got2[5].n_cut == 20          # its copy loses the block
     assert got2[5].text_md5 == hashlib.md5(
         "r0 r1 r2 r3".encode()).hexdigest()
+
+
+def test_substring_cut_preserves_untouched_bytes(spark, tmp_path):
+    """VERDICT r6 item 1a: a document the cut did not touch
+    (n_cut = 0) must come back BYTE-IDENTICAL — mixed case, run-of-
+    space and all — not as the lowercased token join.  Only the
+    touched doc pays the normalization (documented residual)."""
+    import hashlib
+    import os
+
+    from engine.analytics import substring_cut_rewrite
+
+    shared = [f"s{i}" for i in range(25)]
+    # keeper doc: mixed case + double spaces, contains the canonical
+    # occurrence of the shared run (global-min doc_id)
+    doc1 = ("Upper CASE  prefix " + " ".join(shared)
+            + "  Trailing  MiXeD tail x1 x2 x3")
+    # untouched bystander: no duplicated window, mixed case
+    doc2 = "Nothing  Duplicated Here " + " ".join(
+        f"Z{i}" for i in range(22))
+    # the copy that gets cut
+    doc3 = "v0 v1 v2 " + " ".join(shared) + " w0 w1 w2 w3"
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, doc1), (2, doc2), (3, doc3)],
+        "doc_id long, text string").write.parquet(path)
+    os.rename(path, str(tmp_path / "documents.parquet"))
+
+    docs = spark.read.parquet(str(tmp_path / "documents.parquet"))
+    got = {r.doc_id: r for r in substring_cut_rewrite(docs).collect()}
+
+    assert got[1].n_cut == 0 and got[1].text == doc1   # byte-identical
+    assert got[2].n_cut == 0 and got[2].text == doc2   # byte-identical
+    assert got[3].n_cut == 25                          # copy is cut
+    assert got[3].text == "v0 v1 v2 w0 w1 w2 w3"       # normalized join
+
+    # the driver-checkable md5 form agrees: untouched docs hash their
+    # ORIGINAL bytes
+    fn, _ = _REGISTRY["dedup_substring_cut"]
+    md5s = {r.doc_id: r.text_md5
+            for r in fn(spark, str(tmp_path)).collect()}
+    assert md5s[1] == hashlib.md5(doc1.encode()).hexdigest()
+    assert md5s[2] == hashlib.md5(doc2.encode()).hexdigest()
