@@ -64,36 +64,43 @@ def entry(spark: SparkSession) -> DataFrame:
 # long-green entries.  Keep newly-added queries at the top of this
 # list each round; demote them once a CORRECTNESS_r{N}.json row lands.
 _PRIORITY_FIRST = [
-    # new in r6 (no prior driver row can exist):
-    "dedup_substring",
+    # new in r7 (no prior driver row can exist):
+    "dedup_substring_cut_bytes",
+    "lm_perplexity_filter_ref",
+    "lm2_perplexity_filter_ref",
+    # r6-touched semantics (conditional original-text emit / single
+    # vector build) — their r6 rows predate the change:
     "dedup_substring_cut",
     "doc_embedding_hashed",
-    # not covered by the driver's 50-row budget in r5 (all were green in
-    # r4 or earlier and judge-re-verified in r5; rotation gives each a
-    # fresh driver row at least every other round — VERDICT r5 item 2):
-    "dedup_clusters",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "simhash_hamming_candidates",
-    "dedup_simhash128",
-    "simhash128_hamming_candidates",
-    "multimodal_features",
-    "ann_cosine_topk",
-    "lang_id_heuristic",
-    "quality_score",
-    "token_count",
-    "doc_fingerprint",
-    "quality_signals",
-    "gopher_repetition",
-    "decontaminate_ngram",
-    "dedup_span_exact",
-    "url_domain_stats",
-    "pii_scrub",
-    "cleaning_pass",
-    "fingerprint_winnowing",
-    "winnowing_overlap",
-    "ann_lsh_top1",
-    "ann_recall_report",
+    # not covered by the driver's 50-row budget in r6 (all driver-green
+    # in r5 and judge-re-verified in r6; rotation gives each a fresh
+    # driver row at least every other round — VERDICT r6 item 3):
+    "dedup_minhash_lsh",
+    "dedup_minhash_incremental",
+    "minhash_estimate_report",
+    "neardup_pairs_simhash128",
+    "sample_stratified",
+    "pack_token_budget",
+    "dedup_embedding_cosine",
+    "ann_ivf_topk",
+    "ann_ivf_sampled_topk",
+    "ann_ivf_recall",
+    "sessionize",
+    "retention_cohorts",
+    "funnel_view_click_purchase",
+    "embedding_norm_stats",
+    "lm_perplexity_filter",
+    "tfidf_top_terms",
+    "corpus_shuffle",
+    "dup_ngram_fraction",
+    "dsir_importance",
+    "semdedup",
+    "top_ngrams",
+    "corpus_stats",
+    "source_overlap_matrix",
+    "mixture_weights",
+    "semdedup_clusters",
+    "lm2_perplexity_filter",
 ]
 
 

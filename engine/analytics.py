@@ -2040,6 +2040,33 @@ LEFT JOIN cuts cu ON cu.doc_id = t.doc_id
 """
 
 
+def _substring_cut_sets(docs, min_len: int,
+                        cache_registry: list | None = None):
+    """Shared cut-position computation of the two rewrite variants:
+    (doc_id, c array<bigint>) — the 0-based TOKEN positions to cut,
+    i.e. positions covered by >= 1 duplicated-window occurrence and by
+    NO global-first keeper occurrence.  One combinable max(is_keep)
+    per position replaces the distinct/distinct/anti-join formulation
+    (3 shuffles -> 1; measured 3.1 -> ~1 s at sf0.1); the position
+    explosion is confined to DUPLICATED regions, and the per-doc
+    collect_set is bounded by the doc's own length."""
+    toks, starts = _substring_dup_starts(docs, min_len, cache_registry)
+    keep = starts.groupBy("wkey").agg(
+        F.min(F.struct("doc_id", "pos")).alias("k"))
+    s2 = (starts.join(keep, "wkey")
+          .select("doc_id", "pos",
+                  ((F.col("k.doc_id") == F.col("doc_id"))
+                   & (F.col("k.pos") == F.col("pos"))).alias("is_keep")))
+    cover = s2.select(
+        "doc_id", "is_keep",
+        F.explode(F.expr(
+            f"sequence(pos, pos + {min_len} - 1)")).alias("p"))
+    cut = (cover.groupBy("doc_id", "p")
+           .agg(F.max(F.col("is_keep").cast("int")).alias("any_keep"))
+           .filter(F.col("any_keep") == 0))
+    return cut.groupBy("doc_id").agg(F.collect_set("p").alias("c"))
+
+
 def substring_cut_rewrite(docs, min_len: int = _SUBSTR_L,
                           cache_registry: list | None = None):
     """The REWRITE action of Lee et al.'s ExactSubstr dedup: remove
@@ -2083,25 +2110,7 @@ def substring_cut_rewrite(docs, min_len: int = _SUBSTR_L,
     all_toks = (_spread(docs)
                 .select("doc_id", "text",
                         F.expr(_SPARK_TOKS).alias("t")))
-    toks, starts = _substring_dup_starts(docs, min_len, cache_registry)
-    keep = starts.groupBy("wkey").agg(
-        F.min(F.struct("doc_id", "pos")).alias("k"))
-    s2 = (starts.join(keep, "wkey")
-          .select("doc_id", "pos",
-                  ((F.col("k.doc_id") == F.col("doc_id"))
-                   & (F.col("k.pos") == F.col("pos"))).alias("is_keep")))
-    cover = s2.select(
-        "doc_id", "is_keep",
-        F.explode(F.expr(
-            f"sequence(pos, pos + {min_len} - 1)")).alias("p"))
-    # cut iff covered by >=1 occurrence and by NO keeper occurrence:
-    # one combinable max(is_keep) per position replaces the
-    # distinct/distinct/anti-join formulation (3 shuffles -> 1;
-    # measured 3.1 -> ~1 s at sf0.1)
-    cut = (cover.groupBy("doc_id", "p")
-           .agg(F.max(F.col("is_keep").cast("int")).alias("any_keep"))
-           .filter(F.col("any_keep") == 0))
-    cuts = cut.groupBy("doc_id").agg(F.collect_set("p").alias("c"))
+    cuts = _substring_cut_sets(docs, min_len, cache_registry)
     rebuilt = (
         "array_join(filter(transform(t, (x, i) -> "
         "IF(array_contains(c, cast(i as bigint)), null, x)), "
@@ -2131,6 +2140,87 @@ def substring_cut(docs, min_len: int = _SUBSTR_L):
                     .alias("text_md5")))
 
 
+def substring_cut_bytes(docs, min_len: int = _SUBSTR_L,
+                        cache_registry: list | None = None):
+    """BYTE-OFFSET-PRESERVING ExactSubstr rewrite (VERDICT r6 item 1
+    stretch — what Lee et al. actually do): cut the ORIGINAL character
+    stream, not the normalized token join.  A position-annotated
+    tokenizer recovers each token's character span in the original
+    text, and the rewrite deletes exactly the cut tokens' spans —
+    every kept character (case, run-of-space, punctuation spacing)
+    survives byte-identically.  Returns (doc_id, n_tokens, n_cut,
+    byte_exact, text).
+
+    The positional tokenizer is a pure projection, O(len) per row: a
+    token starts at char i iff text[i] != ' ' and (i = 0 or
+    text[i-1] = ' ') — the same maximal-non-space-run definition as
+    _SPARK_TOKS (split on ' ', drop empties), so the k-th span aligns
+    with the k-th token and with the cut indices.  The rebuilt text is
+    one pass over the m+1 kept segments between sorted cut spans
+    (inter-token whitespace is KEPT, so a cut leaves a space run where
+    the duplicate stood — deleting only what was duplicated).
+
+    Honest boundary: token matching keys on lower(text); character
+    spans are computed on lower(text) and applied to text, valid iff
+    lowercasing is length-preserving for the row (true for the
+    Java/ICU 1:1 mappings covering ASCII and almost all of Unicode;
+    the handful of expanding case foldings — e.g. İ — break the
+    alignment).  Rows where length(lower(text)) != length(text) AND a
+    cut touched them fall back to the normalized token join and
+    report byte_exact = false; untouched rows are emitted verbatim
+    regardless (the single whole-text segment never indexes a span).
+
+    Plan shape: identical to substring_cut_rewrite through the cut
+    sets (one corpus shuffle + candidate-only verify + one combinable
+    agg); the span recovery and segment splice are row-local
+    projections — no extra exchange."""
+    all_docs = (_spread(docs)
+                .select("doc_id", "text",
+                        F.expr(_SPARK_TOKS).alias("t")))
+    cuts = _substring_cut_sets(docs, min_len, cache_registry)
+    # lt is bound as a real column so the two span filters read an
+    # attribute instead of re-running lower() per lambda call;
+    # CollapseProject keeps multi-referenced non-cheap aliases put
+    base = (all_docs.join(cuts, "doc_id", "left")
+            .withColumn("c", F.coalesce(
+                "c", F.expr("array()").cast("array<bigint>")))
+            .withColumn("cs", F.expr("array_sort(c)"))
+            .withColumn("lt", F.lower(F.col("text"))))
+    spans = base.select(
+        "doc_id", "text", "t", "cs",
+        F.expr("filter(sequence(1, greatest(length(lt), 1)), i -> "
+               "substr(lt, i, 1) != ' ' AND (i = 1 OR "
+               "substr(lt, i - 1, 1) = ' '))").alias("st"),
+        F.expr("filter(sequence(1, greatest(length(lt), 1)), i -> "
+               "substr(lt, i, 1) != ' ' AND (i = length(lt) OR "
+               "substr(lt, i + 1, 1) = ' '))").alias("en"),
+        F.expr("length(lt) = length(text)").alias("lp"))
+    # segment k of m+1: from after cut k-1's span to before cut k's
+    # (1-based char positions; substr with a clamped-to-0 length
+    # yields '' for empty segments; cs holds 0-based token indices,
+    # st/en are 1-indexed arrays)
+    seg_start = ("CASE WHEN k = 0 THEN 1 ELSE element_at(en, "
+                 "cast(element_at(cs, k) as int) + 1) + 1 END")
+    seg_end = ("CASE WHEN k = size(cs) THEN length(text) ELSE "
+               "element_at(st, cast(element_at(cs, k + 1) as int) + 1)"
+               " - 1 END")
+    spliced = (f"concat_ws('', transform(sequence(0, size(cs)), k -> "
+               f"substr(text, {seg_start}, "
+               f"greatest(({seg_end}) - ({seg_start}) + 1, 0))))")
+    fallback = (
+        "array_join(filter(transform(t, (x, i) -> "
+        "IF(array_contains(cs, cast(i as bigint)), null, x)), "
+        "x -> x is not null), ' ')")
+    return spans.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.size("cs").cast("long").alias("n_cut"),
+        (F.col("lp") | (F.size("cs") == 0)).alias("byte_exact"),
+        F.when(F.size("cs") == 0, F.col("text"))
+        .when(F.col("lp"), F.expr(spliced))
+        .otherwise(F.expr(fallback)).alias("text"))
+
+
 @register("dedup_substring_cut", _DUCK_SUBSTR_CUT)
 def q_dedup_substring_cut(spark, sf_dir):
     """Driver query: substring_cut over the documents table.  NOTE the
@@ -2140,6 +2230,85 @@ def q_dedup_substring_cut(spark, sf_dir):
     into the final frame), while touched docs hash the rebuilt
     normalized token join."""
     return substring_cut(_t(spark, sf_dir, "documents"))
+
+
+_DUCK_SUBSTR_CUT_BYTES = _DUCK_SUBSTR_STARTS + f""", keep AS (
+  SELECT w, MIN(ROW(doc_id, pos)) AS k FROM starts GROUP BY w
+), s2 AS (
+  SELECT s.doc_id, s.pos,
+         (ROW(s.doc_id, s.pos) = k.k) AS is_keep
+  FROM starts s JOIN keep k ON k.w = s.w
+), cover AS (
+  SELECT doc_id, unnest(range(pos, pos + {_SUBSTR_L})) AS p, is_keep
+  FROM s2
+), protected AS (
+  SELECT DISTINCT doc_id, p FROM cover WHERE is_keep
+), cutc AS (
+  SELECT DISTINCT doc_id, p FROM cover WHERE NOT is_keep
+), cut AS (
+  SELECT c.doc_id, c.p FROM cutc c
+  ANTI JOIN protected pr ON pr.doc_id = c.doc_id AND pr.p = c.p
+), cuts AS (
+  SELECT doc_id, list_sort(list(p)) AS cs FROM cut GROUP BY doc_id
+), spans AS (
+  SELECT t.doc_id, t.t, d.text, lower(d.text) AS lt,
+         COALESCE(cu.cs, []) AS cs,
+         length(lower(d.text)) = length(d.text) AS lp
+  FROM toks t
+  JOIN documents d ON d.doc_id = t.doc_id
+  LEFT JOIN cuts cu ON cu.doc_id = t.doc_id
+), sp2 AS (
+  SELECT doc_id, t, text, cs, lp,
+         list_filter(range(1, greatest(length(lt), 1) + 1),
+           i -> substr(lt, i, 1) != ' ' AND
+                (i = 1 OR substr(lt, i - 1, 1) = ' ')) AS st,
+         list_filter(range(1, greatest(length(lt), 1) + 1),
+           i -> substr(lt, i, 1) != ' ' AND
+                (i = length(lt) OR substr(lt, i + 1, 1) = ' ')) AS en
+  FROM spans
+)
+SELECT doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(len(cs) AS BIGINT) AS n_cut,
+       CAST(lp OR len(cs) = 0 AS INT) AS byte_exact,
+       md5(CASE
+         WHEN len(cs) = 0 THEN text
+         WHEN lp THEN array_to_string(
+           list_transform(range(0, len(cs) + 1), k ->
+             substr(text,
+               CASE WHEN k = 0 THEN 1
+                    ELSE en[CAST(cs[k] AS INT) + 1] + 1 END,
+               greatest(
+                 (CASE WHEN k = len(cs) THEN length(text)
+                       ELSE st[CAST(cs[k + 1] AS INT) + 1] - 1 END)
+                 - (CASE WHEN k = 0 THEN 1
+                         ELSE en[CAST(cs[k] AS INT) + 1] + 1 END)
+                 + 1, 0))), '')
+         ELSE COALESCE(array_to_string(
+           list_filter(
+             list_transform(range(1, len(t) + 1),
+               i -> CASE WHEN list_contains(cs, i - 1)
+                         THEN NULL ELSE t[i] END),
+             x -> x IS NOT NULL), ' '), '')
+       END) AS text_md5
+FROM sp2
+"""
+
+
+@register("dedup_substring_cut_bytes", _DUCK_SUBSTR_CUT_BYTES)
+def q_dedup_substring_cut_bytes(spark, sf_dir):
+    """Driver query: the byte-offset-preserving rewrite
+    (substring_cut_bytes) over the documents table — the value hash
+    proves both engines spliced IDENTICAL original-character streams
+    around the cut spans (and agreed on the byte_exact flag).  Oracle
+    universe note: like dedup_substring_cut, both engines join
+    documents back so every doc reports, untouched ones hashing their
+    original bytes verbatim."""
+    return (substring_cut_bytes(_t(spark, sf_dir, "documents"))
+            .select("doc_id", "n_tokens", "n_cut",
+                    F.col("byte_exact").cast("int").alias("byte_exact"),
+                    F.md5(F.col("text").cast("binary"))
+                    .alias("text_md5")))
 
 
 @register("dedup_substring", _DUCK_SUBSTR_DEDUP)
@@ -3566,17 +3735,71 @@ def q_lm_perplexity_filter(spark, sf_dir):
     return lm_scores(_t(spark, sf_dir, "documents"))
 
 
-def lm_scores(docs):
+_DUCK_LM_REF = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
+), vocab AS (
+  SELECT tok, COUNT(*) AS c FROM toks WHERE doc_id % 3 = 0 GROUP BY tok
+), tot AS (
+  SELECT SUM(c) AS t FROM vocab
+), contrib AS (
+  SELECT t2.doc_id,
+         CAST(ROUND(log2(COALESCE(v.c, 1)) * 1000000) AS BIGINT) AS lg
+  FROM toks t2 LEFT JOIN vocab v USING (tok)
+), scored AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         ROUND(log2((SELECT CAST(t AS DOUBLE) FROM tot))
+               - (CAST(SUM(lg) AS DOUBLE) / 1000000.0) / COUNT(*), 4)
+           AS bits_per_token
+  FROM contrib GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, bits_per_token,
+       CAST(bits_per_token <= {_LM_KEEP_BITS} AS INT) AS keep
+FROM scored
+"""
+
+
+@register("lm_perplexity_filter_ref", _DUCK_LM_REF)
+def q_lm_perplexity_filter_ref(spark, sf_dir):
+    """lm_scores in REFERENCE-LM mode (VERDICT r6 item 5): the unigram
+    count tables train on the deterministic doc_id % 3 == 0 slice (the
+    stand-in for CCNet's clean reference corpus) and score EVERY
+    document; out-of-reference-vocabulary tokens take pseudo-count 1.
+    Same micro-bit integer discipline as the self-trained query —
+    the LEFT JOIN + COALESCE is the only plan difference."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return lm_scores(docs, lm_corpus=docs.filter(F.col("doc_id") % 3 == 0))
+
+
+def lm_scores(docs, lm_corpus=None):
     """(doc_id, n_tokens, bits_per_token, keep) over any
     (doc_id, text) frame — q_lm_perplexity_filter's scoring, shared
-    with the cleaning job's ``model_gate="lm"``."""
+    with the cleaning job's ``model_gate="lm"``.
+
+    ``lm_corpus`` (VERDICT r6 item 5): optional REFERENCE frame the
+    unigram LM trains on instead of ``docs`` itself.  CCNet scores
+    against an LM trained on a CLEAN reference corpus — self-training
+    (the default, unchanged) drifts the gate toward the corpus's own
+    junk at high junk fractions: enough planted garble becomes its own
+    high-probability vocabulary and sails through.  With a reference,
+    out-of-vocabulary tokens take pseudo-count 1 (log2(1) = 0 — a doc
+    of pure OOV garble scores the worst possible log2(T) bits/token
+    and is dropped), and the count tables are the reference's, reused
+    across every scored batch."""
     toks = docs.select("doc_id", F.explode(F.expr(_SPARK_TOKS)).alias("tok"))
-    vocab = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    lm_toks = (toks if lm_corpus is None else
+               lm_corpus.select(F.explode(F.expr(_SPARK_TOKS))
+                                .alias("tok")))
+    vocab = lm_toks.groupBy("tok").agg(F.count("*").alias("c"))
     tot = vocab.agg(F.sum("c").alias("t"))  # 1 row → broadcast
-    contrib = (toks.join(vocab, "tok")
-               .select("doc_id",
-                       F.round(F.log2("c") * 1000000.0, 0).cast("long")
-                       .alias("lg")))
+    if lm_corpus is None:
+        scored = toks.join(vocab, "tok")
+    else:
+        scored = (toks.join(vocab, "tok", "left")
+                  .withColumn("c", F.coalesce("c", F.lit(1))))
+    contrib = scored.select(
+        "doc_id",
+        F.round(F.log2("c") * 1000000.0, 0).cast("long").alias("lg"))
     agg = contrib.groupBy("doc_id").agg(
         F.count("*").alias("n_tokens"), F.sum("lg").alias("s"))
     bits = F.round(F.log2(F.col("t").cast("double"))
@@ -4300,6 +4523,69 @@ def q_lm2_perplexity_filter(spark, sf_dir):
     return lm2_scores(_t(spark, sf_dir, "documents"))
 
 
+_DUCK_LM2_REF = f"""
+WITH base AS (
+  SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+  WHERE len({_DUCK_TOKS}) >= 1
+), uni AS (
+  SELECT tok, COUNT(*) AS c FROM (
+    SELECT unnest(t) AS tok FROM base WHERE doc_id % 3 = 0)
+  GROUP BY tok
+), tot AS (SELECT CAST(SUM(c) AS BIGINT) AS tt FROM uni),
+bg AS (
+  SELECT doc_id, unnest(list_transform(range(2, len(t) + 1),
+                                       i -> t[i - 1] || ' ' || t[i]))
+           AS bgs
+  FROM base WHERE len(t) >= 2
+), bgc AS (
+  SELECT bgs, COUNT(*) AS c2 FROM bg WHERE doc_id % 3 = 0 GROUP BY bgs
+), bg_contrib AS (
+  SELECT b.doc_id,
+         CAST(ROUND(log2(0.75 * (CAST(COALESCE(k.c2, 0) AS DOUBLE)
+                                 / CAST(COALESCE(up.c, 1) AS DOUBLE))
+                         + 0.25 * (CAST(COALESCE(uw.c, 1) AS DOUBLE)
+                                   / CAST(tot.tt AS DOUBLE)))
+                    * 1000000) AS BIGINT) AS lg
+  FROM bg b
+  LEFT JOIN bgc k ON k.bgs = b.bgs
+  LEFT JOIN uni up ON up.tok = string_split(b.bgs, ' ')[1]
+  LEFT JOIN uni uw ON uw.tok = string_split(b.bgs, ' ')[2]
+  CROSS JOIN tot
+), first_contrib AS (
+  SELECT b.doc_id,
+         CAST(ROUND((log2(CAST(COALESCE(u.c, 1) AS DOUBLE))
+                     - log2(CAST(tot.tt AS DOUBLE))) * 1000000)
+              AS BIGINT) AS lg
+  FROM base b LEFT JOIN uni u ON u.tok = b.t[1] CROSS JOIN tot
+), contrib AS (
+  SELECT doc_id, lg FROM bg_contrib
+  UNION ALL SELECT doc_id, lg FROM first_contrib
+)
+SELECT doc_id, n_tokens, bits_per_token,
+       CAST(bits_per_token <= {_LM2_KEEP_BITS} AS INT) AS keep
+FROM (
+  SELECT c.doc_id, COUNT(*) AS n_tokens,
+         ROUND(-(CAST(SUM(c.lg) AS DOUBLE) / 1000000.0) / COUNT(*), 4)
+           AS bits_per_token
+  FROM contrib c GROUP BY c.doc_id)
+"""
+
+
+@register("lm2_perplexity_filter_ref", _DUCK_LM2_REF)
+def q_lm2_perplexity_filter_ref(spark, sf_dir):
+    """lm2_scores in REFERENCE-LM mode (VERDICT r6 item 5): unigram
+    AND bigram count tables train on the doc_id % 3 == 0 slice, every
+    document is scored against them.  OOV fallbacks: unseen unigram →
+    pseudo-count 1, unseen bigram → 0 (the interpolation backs off to
+    its unigram term, so p > 0 always).  Plan difference vs the
+    self-trained query: the scoring joins turn LEFT with COALESCE —
+    the count tables, shuffle keys, and micro-bit arithmetic are
+    identical."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return lm2_scores(docs,
+                      lm_corpus=docs.filter(F.col("doc_id") % 3 == 0))
+
+
 def _lm2_bigram_lg(c2, cp, cw, tt):
     """Micro-bit log2 of the interpolated bigram probability as a
     Column: log2(0.75·(c2/cp) + 0.25·(cw/tt))·1e6, rounded to long.
@@ -4317,7 +4603,7 @@ def _lm2_bigram_lg(c2, cp, cw, tt):
     return F.round(F.log2(p) * 1000000.0, 0).cast("long")
 
 
-def lm2_scores(docs):
+def lm2_scores(docs, lm_corpus=None):
     """(doc_id, n_tokens, bits_per_token, keep) under the interpolated
     bigram LM, over any (doc_id, text) frame — q_lm2_perplexity_filter's
     scoring as a reusable stage (same contract as lm_scores).
@@ -4326,42 +4612,71 @@ def lm2_scores(docs):
     regression lesson the minhash family carries (_SPARK_SH_HASH):
     unigram counts key on the token hash, bigram counts and the
     scoring joins key on the bigram-string hash; the strings
-    themselves never leave their rows."""
-    spark = docs.sparkSession
+    themselves never leave their rows.
+
+    ``lm_corpus`` (VERDICT r6 item 5): optional clean REFERENCE frame
+    the unigram AND bigram count tables train on (same rationale as
+    lm_scores).  OOV fallbacks in reference mode: unseen unigram →
+    pseudo-count 1, unseen bigram → 0 (pure backoff to the
+    interpolation's unigram term — p stays > 0 because cw >= 1), so a
+    garble doc pays ~log2(tt) - 2 bits per OOV token instead of
+    building itself a comfortable self-trained profile."""
     h_of = ("cast(conv(substr(md5(cast({x} as binary)), 18, 15), "
             "16, 10) as bigint)")
-    base = _spread(docs.select("doc_id", F.expr(_SPARK_TOKS).alias("t"))
-                   .filter(F.expr("size(t) >= 1")))
-    uni = (base.select(F.explode("t").alias("tok"))
+
+    def _toks(frame):
+        return _spread(frame.select("doc_id",
+                                    F.expr(_SPARK_TOKS).alias("t"))
+                       .filter(F.expr("size(t) >= 1")))
+
+    def _bigrams(frame):
+        return (frame.filter(F.expr("size(t) >= 2"))
+                .select("doc_id",
+                        F.explode(F.expr(
+                            "transform(sequence(2, size(t)), i -> "
+                            "concat(element_at(t, i - 1), ' ', "
+                            "element_at(t, i)))")).alias("bgs"))
+                .select("doc_id",
+                        F.expr(h_of.format(x="bgs")).alias("h2"),
+                        F.expr(h_of.format(x="split(bgs, ' ')[0]"))
+                        .alias("hp"),
+                        F.expr(h_of.format(x="split(bgs, ' ')[1]"))
+                        .alias("hw")))
+
+    base = _toks(docs)
+    lm_base = base if lm_corpus is None else _toks(lm_corpus)
+    uni = (lm_base.select(F.explode("t").alias("tok"))
            .select(F.expr(h_of.format(x="tok")).alias("h1"))
            .groupBy("h1").agg(F.count("*").alias("c")))
     tot = uni.agg(F.sum("c").cast("long").alias("tt"))
-    bg = (base.filter(F.expr("size(t) >= 2"))
-          .select("doc_id",
-                  F.explode(F.expr(
-                      "transform(sequence(2, size(t)), i -> "
-                      "concat(element_at(t, i - 1), ' ', "
-                      "element_at(t, i)))")).alias("bgs"))
-          .select("doc_id",
-                  F.expr(h_of.format(x="bgs")).alias("h2"),
-                  F.expr(h_of.format(x="split(bgs, ' ')[0]"))
-                  .alias("hp"),
-                  F.expr(h_of.format(x="split(bgs, ' ')[1]"))
-                  .alias("hw")))
-    bgc = bg.groupBy("h2").agg(F.count("*").alias("c2"))
+    bg = _bigrams(base)
+    bgc = (_bigrams(lm_base) if lm_corpus is not None else bg) \
+        .groupBy("h2").agg(F.count("*").alias("c2"))
     up = uni.select(F.col("h1").alias("hp"), F.col("c").alias("cp"))
     uw = uni.select(F.col("h1").alias("hw"), F.col("c").alias("cw"))
-    bg_contrib = (bg.join(bgc, "h2")
-                  .join(up, "hp").join(uw, "hw")
+    if lm_corpus is None:
+        joined = bg.join(bgc, "h2").join(up, "hp").join(uw, "hw")
+    else:
+        joined = (bg.join(bgc, "h2", "left")
+                  .join(up, "hp", "left").join(uw, "hw", "left")
+                  .withColumn("c2", F.coalesce("c2", F.lit(0)))
+                  .withColumn("cp", F.coalesce("cp", F.lit(1)))
+                  .withColumn("cw", F.coalesce("cw", F.lit(1))))
+    bg_contrib = (joined
                   .crossJoin(F.broadcast(tot))
                   .select("doc_id",
                           _lm2_bigram_lg(F.col("c2"), F.col("cp"),
                                          F.col("cw"), F.col("tt"))
                           .alias("lg")))
-    first = (base.select(
+    first_j = base.select(
         "doc_id",
         F.expr(h_of.format(x="element_at(t, 1)")).alias("h1"))
-             .join(uni, "h1").crossJoin(F.broadcast(tot))
+    if lm_corpus is None:
+        first_j = first_j.join(uni, "h1")
+    else:
+        first_j = (first_j.join(uni, "h1", "left")
+                   .withColumn("c", F.coalesce("c", F.lit(1))))
+    first = (first_j.crossJoin(F.broadcast(tot))
              .select("doc_id", F.round(
                  (F.log2(F.col("c").cast("double"))
                   - F.log2(F.col("tt").cast("double"))) * 1000000.0, 0)

@@ -89,13 +89,18 @@ def gopher_repetition_gate(docs: DataFrame,
     return docs.filter(F.expr(checks))
 
 
-def model_quality_gate(docs: DataFrame, model: str) -> DataFrame:
+def model_quality_gate(docs: DataFrame, model: str,
+                       lm_corpus: DataFrame = None) -> DataFrame:
     """Corpus-model quality gate — the r5 signals as job stages:
 
     ``model="lm"``: CCNet-style unigram-LM bits/token ceiling
-    (lm_scores) — the LM is trained on the frame being gated.
-    ``model="lm2"``: the interpolated bigram LM (lm2_scores) — catches
-    bigram-breaking garble the unigram profile cannot see.
+    (lm_scores) — trained on ``lm_corpus`` when given (the CCNet
+    clean-reference contract, VERDICT r6 item 5; self-training drifts
+    toward the corpus's own junk at high junk fractions), else on the
+    frame being gated (the original self-trained behavior).
+    ``model="lm2"``: the interpolated bigram LM (lm2_scores; same
+    ``lm_corpus`` contract) — catches bigram-breaking garble the
+    unigram profile cannot see.
     ``model="dsir"``: DSIR target-vs-raw log-likelihood ratio > 0
     (dsir_scores).
 
@@ -105,9 +110,11 @@ def model_quality_gate(docs: DataFrame, model: str) -> DataFrame:
     of the two at 100 TB).  The keep set joins back LEFT SEMI on
     doc_id, so gated columns pass through untouched."""
     if model == "lm":
-        keeps = lm_scores(docs).filter(F.col("keep") == 1)
+        keeps = lm_scores(docs, lm_corpus=lm_corpus) \
+            .filter(F.col("keep") == 1)
     elif model == "lm2":
-        keeps = lm2_scores(docs).filter(F.col("keep") == 1)
+        keeps = lm2_scores(docs, lm_corpus=lm_corpus) \
+            .filter(F.col("keep") == 1)
     elif model == "dsir":
         # DSIR proper RESAMPLES by importance weight; as a hard gate
         # the absolute `ratio > 0` rule degenerates on small/odd
@@ -247,7 +254,8 @@ def semantic_dedup_removal(docs: DataFrame, emb: DataFrame,
 
 def substring_cut_stage(docs: DataFrame,
                         min_len: int = None,
-                        cache_registry: list = None) -> DataFrame:
+                        cache_registry: list = None,
+                        mode: str = "tokens") -> DataFrame:
     """ExactSubstr rewrite as a job stage (the Lee et al. action the
     span operators point at): every duplicated >= min_len-token
     substring occurrence is cut from the NORMALIZED token stream
@@ -255,16 +263,31 @@ def substring_cut_stage(docs: DataFrame,
     text shrinks.  Adds ``n_tokens_cut`` so the job's metrics can
     report total tokens removed.  Columns other than ``text`` pass
     through; UNTOUCHED documents (n_tokens_cut = 0) keep their
-    original text byte-identically (VERDICT r6 item 1a), and only
-    touched docs carry the lowercased token join (the stream all
-    dedup operators key on — documented in substring_cut_rewrite)."""
-    from engine.analytics import _SUBSTR_L, substring_cut_rewrite
+    original text byte-identically (VERDICT r6 item 1a).  ``mode``
+    picks what TOUCHED docs carry: "tokens" (default) emits the
+    lowercased token join (the stream all dedup operators key on —
+    documented in substring_cut_rewrite); "bytes" splices the cut
+    spans out of the ORIGINAL character stream (substring_cut_bytes)
+    and adds a ``byte_exact`` lineage column (false only for the rare
+    expanding-lowercase rows that fell back to the token join)."""
+    from engine.analytics import (_SUBSTR_L, substring_cut_bytes,
+                                  substring_cut_rewrite)
 
-    rewritten = substring_cut_rewrite(
-        docs.select("doc_id", "text"),
-        min_len if min_len is not None else _SUBSTR_L,
-        cache_registry=cache_registry)
+    ml = min_len if min_len is not None else _SUBSTR_L
     keep_cols = [c for c in docs.columns if c != "text"]
+    if mode == "bytes":
+        rewritten = substring_cut_bytes(
+            docs.select("doc_id", "text"), ml,
+            cache_registry=cache_registry)
+        return (docs.select(*keep_cols)
+                .join(rewritten.select(
+                    "doc_id", "text", "byte_exact",
+                    F.col("n_cut").alias("n_tokens_cut")), "doc_id"))
+    if mode != "tokens":
+        raise ValueError(f"unknown substring-cut mode: {mode!r}")
+    rewritten = substring_cut_rewrite(
+        docs.select("doc_id", "text"), ml,
+        cache_registry=cache_registry)
     return (docs.select(*keep_cols)
             .join(rewritten.select("doc_id", "text",
                                    F.col("n_cut").alias("n_tokens_cut")),
@@ -291,6 +314,8 @@ def cleaning_stages(docs: DataFrame, neardup_policy: str = "pairwise",
                     semantic_dedup: DataFrame = None,
                     semantic_policy: str = "clusters",
                     substring_cut: bool = False,
+                    substring_mode: str = "tokens",
+                    lm_corpus: DataFrame = None,
                     decontaminate: DataFrame = None) -> dict:
     """The job's stage DataFrames, each boundary PERSISTED.
 
@@ -315,7 +340,8 @@ def cleaning_stages(docs: DataFrame, neardup_policy: str = "pairwise",
         from engine.analytics import decontaminate_gate
         gated = decontaminate_gate(gated, decontaminate)
     if model_gate:
-        gated = model_quality_gate(gated, model_gate)
+        gated = model_quality_gate(gated, model_gate,
+                                   lm_corpus=lm_corpus)
     gated = gated.persist()
     exact = exact_dedup(gated).persist()
     survivors = neardup_removal(exact, policy=neardup_policy,
@@ -336,8 +362,8 @@ def cleaning_stages(docs: DataFrame, neardup_policy: str = "pairwise",
         # token cache is surfaced so the job can release it with the
         # stage boundaries (no leaked blocks across repeated jobs)
         caches: list = []
-        final = substring_cut_stage(final,
-                                    cache_registry=caches).persist()
+        final = substring_cut_stage(final, cache_registry=caches,
+                                    mode=substring_mode).persist()
         stages["substring"] = final
         stages["_substring_caches"] = caches
     stages["cleaned"] = pii_scrub_text(final)
@@ -354,6 +380,8 @@ def run_cleaning_job(spark: SparkSession, input_path: str,
                      semantic_policy: str = "clusters",
                      semantic_hashed: bool = False,
                      substring_cut: bool = False,
+                     substring_mode: str = "tokens",
+                     lm_corpus_path: str = None,
                      decontaminate_path: str = None) -> dict:
     """documents parquet in → cleaned corpus parquet out, one JSON-able
     metrics dict back (per-stage survivor counts reconcile the run the
@@ -384,12 +412,16 @@ def run_cleaning_job(spark: SparkSession, input_path: str,
         emb = doc_hashed_embeddings(docs)
     decon = (spark.read.parquet(decontaminate_path)
              if decontaminate_path is not None else None)
+    lm_ref = (spark.read.parquet(lm_corpus_path)
+              if lm_corpus_path is not None else None)
     stages = cleaning_stages(docs, neardup_policy=neardup_policy,
                              gopher_gate=gopher_gate, sketch=sketch,
                              model_gate=model_gate,
                              semantic_dedup=emb,
                              semantic_policy=semantic_policy,
                              substring_cut=substring_cut,
+                             substring_mode=substring_mode,
+                             lm_corpus=lm_ref,
                              decontaminate=decon)
     obs = Observation()
     observations = [

@@ -378,11 +378,15 @@ def _substring_cut_batch(spark: SparkSession, survivors, batch_id,
     (doc_id, text, n_tokens_cut) frame for EVERY survivor (normalized
     token stream, like the batch stage), the window rows of the
     REBUILT text (what actually ships is what future batches dedup
-    against), and the persisted frames for the caller to release."""
+    against), and the persisted frames for the caller to release.
+    Like the batch stage (VERDICT r6 item 1a), survivors the cut did
+    NOT touch ship their ORIGINAL text byte-identically — the window
+    keys are tokenization-invariant, so the index sees the same
+    stream either way."""
     from engine.analytics import (_SPARK_TOKS,
                                   _substring_window_md5_expr)
 
-    toks_all = (survivors.select("doc_id",
+    toks_all = (survivors.select("doc_id", "text",
                                  F.expr(_SPARK_TOKS).alias("t"))
                 .persist())
     wins_arr = (toks_all.filter(F.expr(f"size(t) >= {min_len}"))
@@ -425,7 +429,8 @@ def _substring_cut_batch(spark: SparkSession, survivors, batch_id,
                .withColumn("c", F.coalesce(
                    "c", F.expr("array()").cast("array<bigint>")))
                .select("doc_id",
-                       F.expr(rebuilt_txt).alias("text"),
+                       F.when(F.size("c") == 0, F.col("text"))
+                       .otherwise(F.expr(rebuilt_txt)).alias("text"),
                        F.size("c").cast("long").alias("n_tokens_cut")))
     wins_out = (rebuilt
                 .select("doc_id", F.expr(_SPARK_TOKS).alias("t"))

@@ -45,6 +45,11 @@ def main() -> None:
                    help="clusters: one survivor per semantic-dup "
                         "component (min doc_id); pairwise: drop each "
                         "pair's closer-to-centroid member (paper rule)")
+    p.add_argument("--lm-corpus", default=None, metavar="REF_PATH",
+                   help="clean reference corpus parquet for the "
+                        "--model-gate lm/lm2 count tables (CCNet "
+                        "contract); default: self-trained on the "
+                        "frame being gated")
     p.add_argument("--decontaminate", default=None, metavar="EVAL_PATH",
                    help="benchmark decontamination gate: drop docs "
                         "sharing any 13-gram with this (doc_id, text) "
@@ -52,8 +57,14 @@ def main() -> None:
     p.add_argument("--substring-cut", action="store_true",
                    help="rewrite stage: cut duplicated >=20-token "
                         "substrings position-wise (global-first "
-                        "occurrence kept; output text is the "
-                        "normalized token stream)")
+                        "occurrence kept; untouched docs keep their "
+                        "original bytes)")
+    p.add_argument("--substring-mode", default="tokens",
+                   choices=["tokens", "bytes"],
+                   help="what TOUCHED docs carry after --substring-cut: "
+                        "the normalized token join (tokens) or the "
+                        "original character stream with only the cut "
+                        "spans spliced out (bytes)")
     p.add_argument("--sketch", default="minhash",
                    choices=["minhash", "simhash128"],
                    help="near-dup candidate generator: minhash "
@@ -76,6 +87,8 @@ def main() -> None:
                                semantic_policy=args.semantic_policy,
                                semantic_hashed=args.semantic_dedup_hashed,
                                substring_cut=args.substring_cut,
+                               substring_mode=args.substring_mode,
+                               lm_corpus_path=args.lm_corpus,
                                decontaminate_path=args.decontaminate)
     print(json.dumps(metrics))
 

