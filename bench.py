@@ -96,6 +96,19 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
                       shuffle_partitions=cpus * 2)
     spark.sparkContext.setLogLevel("ERROR")
 
+    # quiet-by-construction headline (VERDICT r6 item 6): r6 proved the
+    # load stamps attribute co-tenant bursts; now USE them — refuse to
+    # stamp a headline run while the 1-min load exceeds 4, waiting up
+    # to 10 min for a quiet window.  If the wait exhausts, the run
+    # proceeds but the artifact carries quiet_wait_exhausted=true, so
+    # a noisy number can never masquerade as a clean one.  Scaling-mode
+    # subprocesses skip this: run_scaling already gates each sample on
+    # its own (stricter, 1.2) quiet poll and annotates noisy runs.
+    quiet_wait_exhausted = False
+    if not os.environ.get("SPARK_GRAFT_SCALING_ONLY"):
+        _load_now, quiet = _await_quiet(threshold=4.0, timeout_s=600)
+        quiet_wait_exhausted = not quiet
+
     load_start = _loadavg()
     timings: dict = {}
 
@@ -193,6 +206,7 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         "turns_per_sec": round(n_turns / extract_sec, 1),
         "load_start": load_start,
         "load_end": _loadavg(),
+        "quiet_wait_exhausted": quiet_wait_exhausted,
     }
 
 
@@ -209,7 +223,8 @@ def emit(result: dict) -> None:
     """
     headline = {k: result.get(k) for k in
                 ("metric", "value", "unit", "turns_per_sec", "sf",
-                 "cpus", "load_start", "load_end")}
+                 "cpus", "load_start", "load_end",
+                 "quiet_wait_exhausted")}
     if not os.environ.get("SPARK_GRAFT_SCALING_ONLY"):
         # the pointer is only honest when this run actually writes the
         # file — a scaling-mode headline pointing at a stale

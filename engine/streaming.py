@@ -297,7 +297,9 @@ def stream_clean(spark: SparkSession, input_path: str, work_dir: str,
                  bucketed_name: str | None = None,
                  plan_probe: list | None = None,
                  sketch: str = "minhash",
-                 substring_cut: bool = False):
+                 substring_cut: bool = False,
+                 semantic_index: str | None = None,
+                 sem_embeddings_path: str | None = None):
     """STREAMING corpus cleaning — the continuously-landing form of
     engine/cleaning.py's batch job, composed from the family's
     streaming members: per micro-batch,
@@ -308,6 +310,13 @@ def stream_clean(spark: SparkSession, input_path: str, work_dir: str,
         → near-dup removal (MinHash vs the survivor band index +
           within batch; the arriving LARGER-id member of a confirmed
           pair is dropped)
+        → [SemDeDup (``semantic_index`` + ``sem_embeddings_path``):
+          survivors' embeddings run one stream_semdedup micro-batch
+          against the frozen-quantizer serving index + earlier stream
+          members; the arriving removed members drop here, removals
+          of already-shipped members stay in the {idx}/sem/pairs
+          decision log for compact_semdedup_stream — metrics gain
+          after_semantic_dedup]
         → [ExactSubstr cut (``substring_cut=True``): duplicated
           >=20-token window occurrences of the SURVIVORS are cut
           position-wise against the persisted window index of shipped
@@ -356,7 +365,9 @@ def stream_clean(spark: SparkSession, input_path: str, work_dir: str,
                          gopher_gate=gopher_gate,
                          bucketed_name=bucketed_name,
                          plan_probe=plan_probe, sketch=sketch,
-                         substring_cut=substring_cut)
+                         substring_cut=substring_cut,
+                         semantic_index=semantic_index,
+                         sem_embeddings_path=sem_embeddings_path)
 
     writer = (stream.writeStream.foreachBatch(_process)
               .option("checkpointLocation", checkpoint_path))
@@ -449,7 +460,9 @@ def _clean_one_batch(spark: SparkSession, batch_df, batch_id,
                      bucketed_name: str | None = None,
                      plan_probe: list | None = None,
                      sketch: str = "minhash",
-                     substring_cut: bool = False) -> None:
+                     substring_cut: bool = False,
+                     semantic_index: str | None = None,
+                     sem_embeddings_path: str | None = None) -> None:
     """One stream_clean micro-batch — module-level so the replay test
     can re-invoke it with the same batch_id and assert the rewrite is
     identical (the crash-after-index-write/before-commit window).
@@ -525,6 +538,35 @@ def _clean_one_batch(spark: SparkSession, batch_df, batch_id,
     survivors = exact.join(drop, "doc_id", "left_anti").persist()
     n_surv = survivors.count()
 
+    # fourth gate (VERDICT r6 item 4, mirroring the batch job's stage
+    # order: near-dup → semantic → substring-cut): the post-near-dup
+    # survivors' embeddings run one stream_semdedup micro-batch
+    # against the FROZEN-quantizer serving index + earlier stream
+    # members — decisions land in the {idx}/sem/pairs decision log
+    # (per-batch overwrite, replay-identical via _stream_index_tail's
+    # own-partition exclusion), and the funnel drops the ARRIVING
+    # members of confirmed pairs.  A decision that removes an
+    # already-shipped earlier member cannot recall shipped output —
+    # it stays in the log and is applied by compact_semdedup_stream,
+    # the documented stream_semdedup contract.  Docs without an
+    # embedding row pass through (the batch gate's missing-embedding
+    # rule).  Both flags are stream-lifetime choices.
+    n_sem = None
+    nd_survivors = survivors
+    if semantic_index is not None:
+        emb = (spark.read.parquet(sem_embeddings_path)
+               .join(survivors.select(F.col("doc_id").alias("vec_id")),
+                     "vec_id", "left_semi"))
+        _semdedup_one_batch(spark, emb, batch_id, semantic_index,
+                            f"{idx}/sem")
+        removed = (spark.read
+                   .parquet(f"{idx}/sem/pairs/batch={batch_id}")
+                   .select(F.col("removed_id").alias("doc_id"))
+                   .distinct())
+        survivors = survivors.join(removed, "doc_id", "left_anti") \
+            .persist()
+        n_sem = survivors.count()
+
     cut_caches: list = []
     tokens_cut = None
     if substring_cut:
@@ -559,21 +601,20 @@ def _clean_one_batch(spark: SparkSession, batch_df, batch_id,
     if chunks_arr is not None:
         chunks_arr.join(surv_ids, "doc_id", "left_semi").write \
             .mode("overwrite").parquet(f"{idx}/chunks/batch={batch_id}")
-    if tokens_cut is None:
-        metrics_row = spark.createDataFrame(
-            [(batch_id, n_in, n_gated, n_exact, n_surv)],
-            "batch_id long, rows_in long, after_gates long, "
-            "after_exact_dedup long, after_neardup_removal long")
-    else:
-        metrics_row = spark.createDataFrame(
-            [(batch_id, n_in, n_gated, n_exact, n_surv, tokens_cut)],
-            "batch_id long, rows_in long, after_gates long, "
-            "after_exact_dedup long, after_neardup_removal long, "
-            "substring_tokens_cut long")
+    cols = [("batch_id", batch_id), ("rows_in", n_in),
+            ("after_gates", n_gated), ("after_exact_dedup", n_exact),
+            ("after_neardup_removal", n_surv)]
+    if n_sem is not None:
+        cols.append(("after_semantic_dedup", n_sem))
+    if tokens_cut is not None:
+        cols.append(("substring_tokens_cut", tokens_cut))
+    metrics_row = spark.createDataFrame(
+        [tuple(v for _, v in cols)],
+        ", ".join(f"{name} long" for name, _ in cols))
     metrics_row.coalesce(1).write.mode("overwrite") \
         .parquet(f"{work_dir}/metrics/batch={batch_id}")
     for df in (batch, gated, exact, dist_arr, bands_arr, chunks_arr,
-               survivors, *cut_caches):
+               nd_survivors, survivors, *cut_caches):
         if df is not None:
             df.unpersist()
 

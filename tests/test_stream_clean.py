@@ -162,3 +162,128 @@ def test_stream_clean_substring_cut_stage(spark, tmp_path):
     assert got.doc_id == 21 and sj in got.text
     assert spark.read.parquet(f"{work2}/metrics") \
         .first().substring_tokens_cut == 0
+
+
+def _sem_fixture(spark, tmp_path):
+    """Controlled 4-dim semantic world: a 16-vector base corpus (4
+    axis-aligned groups) builds the frozen serving index; the stream
+    sends gate-passing, token-distinct docs whose embeddings are
+    hand-placed — doc 10001 (batch 0) and doc 10011 (batch 1) are a
+    semantic pair (cosine ~0.999, same cell, both < 0.95 vs every
+    base member); doc 10012 points down a fresh diagonal (no pair);
+    doc 10013 ships NO embedding row; doc 10014 pairs with INDEXED
+    base member 1008 and is the FARTHER-from-centroid one, so the
+    decision removes the already-shipped index member — the removal
+    that can only be applied at compaction."""
+    from engine.index import write_ann_index
+
+    def filler(prefix, n):
+        out = []
+        for i in range(n):
+            out.append(f"{prefix}{i}")
+            if i % 5 == 4:
+                out.append("the")
+        return out
+
+    base = [(1000 + 4 * g + i,
+             [1.0 if d == g else (0.05 * i if d == (g + 1) % 4 else 0.0)
+              for d in range(4)])
+            for g in range(4) for i in range(4)]
+    emb_rows = base + [
+        (10001, [0.80, 0.60, 0.0, 0.0]),
+        (10011, [0.82, 0.57, 0.0, 0.0]),   # pair of 10001, nearer c
+        (10012, [0.0, 0.0, 0.72, 0.69]),   # fresh diagonal, no pair
+        (10014, [0.0, 0.0, 0.97, -0.24]),  # pairs with indexed 1008
+    ]
+    emb_path = str(tmp_path / "emb")
+    spark.createDataFrame(
+        [(v, [float(x) for x in e]) for v, e in emb_rows],
+        "vec_id long, e array<double>").write.parquet(emb_path)
+    # the stream reads (vec_id, embedding float)
+    sem_emb_path = str(tmp_path / "sem_emb")
+    spark.read.parquet(emb_path).select(
+        "vec_id", F.expr("transform(e, x -> cast(x as float))")
+        .alias("embedding")).write.parquet(sem_emb_path)
+
+    idx = str(tmp_path / "ann")
+    write_ann_index(
+        spark.read.parquet(emb_path).filter("vec_id < 10000"), idx)
+
+    b0 = [(10001, " ".join(filler("aa", 60)))]
+    b1 = [(10011, " ".join(filler("bb", 60))),
+          (10012, " ".join(filler("cc", 60))),
+          (10013, " ".join(filler("dd", 60))),
+          (10014, " ".join(filler("ee", 60)))]
+    return idx, sem_emb_path, b0, b1
+
+
+def test_stream_clean_semantic_gate(spark, tmp_path):
+    """stream_clean with the SemDeDup gate (VERDICT r6 item 4): an
+    arriving semantic duplicate of an earlier batch's shipped survivor
+    is dropped at the funnel (decision logged per batch), docs without
+    embeddings pass, metrics carry after_semantic_dedup, and the
+    crash-window replay rewrites identically."""
+    from engine.streaming import _clean_one_batch
+
+    idx, sem_emb, b0, b1 = _sem_fixture(spark, tmp_path)
+    inp = str(tmp_path / "in")
+    work = str(tmp_path / "work")
+    cp = str(tmp_path / "cp")
+
+    _write(spark, b0, inp)
+    q = stream_clean(spark, inp, work, cp,
+                     semantic_index=idx, sem_embeddings_path=sem_emb)
+    q.awaitTermination(120)
+    assert {r.doc_id for r in
+            spark.read.parquet(f"{work}/cleaned").collect()} == {10001}
+
+    _write(spark, b1, inp)
+    q = stream_clean(spark, inp, work, cp,
+                     semantic_index=idx, sem_embeddings_path=sem_emb)
+    q.awaitTermination(120)
+
+    cleaned = spark.read.parquet(f"{work}/cleaned")
+    ids = {r.doc_id for r in cleaned.select("doc_id").collect()}
+    # 10011 (semantic dup of shipped 10001, nearer the centroid —
+    # SemDeDup removes the less diverse member) dropped; the fresh
+    # diagonal and the no-embedding doc ship; 10014 ALSO ships — its
+    # pair removes the indexed member 1008 (10014 is the more diverse
+    # one), and shipped output is never recalled: the removal stays
+    # in the decision log for compact_semdedup_stream
+    assert ids == {10001, 10012, 10013, 10014}
+
+    # the decision log carries both pairs, batch-partitioned
+    pairs = {(r.removed_id, r.keeper_id) for r in
+             spark.read.parquet(f"{work}/index/sem/pairs").collect()}
+    assert pairs == {(10011, 10001), (1008, 10014)}
+
+    # metrics funnel gains the semantic row
+    metrics = {r.batch_id: r for r in
+               spark.read.parquet(f"{work}/metrics").collect()}
+    b = metrics[max(metrics)]
+    assert (b.rows_in, b.after_neardup_removal,
+            b.after_semantic_dedup) == (4, 4, 3)
+
+    # survivor state excludes the semantically-removed doc
+    idx_ids = {r.doc_id for r in
+               spark.read.parquet(f"{work}/index/hashes").collect()}
+    assert idx_ids == {10001, 10012, 10013, 10014}
+
+    # crash-window replay: re-invoke the last batch id with the index
+    # partitions already written — outputs byte-identical
+    last = max(metrics)
+    df1 = spark.createDataFrame(b1, "doc_id long, text string")
+    _clean_one_batch(spark, df1, last, work,
+                     semantic_index=idx, sem_embeddings_path=sem_emb)
+    again = {(r.removed_id, r.keeper_id) for r in
+             spark.read.parquet(f"{work}/index/sem/pairs").collect()}
+    assert again == pairs
+    assert {r.doc_id for r in
+            spark.read.parquet(f"{work}/cleaned").collect()} == ids
+
+    # exactly-once: re-drain with nothing new no-ops
+    q = stream_clean(spark, inp, work, cp,
+                     semantic_index=idx, sem_embeddings_path=sem_emb)
+    q.awaitTermination(120)
+    assert {r.doc_id for r in
+            spark.read.parquet(f"{work}/cleaned").collect()} == ids
