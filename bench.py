@@ -149,12 +149,15 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         "dedup_simhash", "simhash_hamming_candidates",
         "simhash128_hamming_candidates",
         "dedup_embedding_cosine", "dedup_span_exact", "dedup_substring",
-        "dedup_substring_cut", "doc_embedding_hashed",
+        "dedup_substring_cut", "dedup_substring_cut_bytes",
+        "doc_embedding_hashed",
         "ann_cosine_topk", "ann_lsh_top1",
         "ann_ivf_topk", "ann_ivf_sampled_topk", "winnowing_overlap",
         "decontaminate_ngram", "gopher_repetition",
         "neardup_pairs_simhash128", "sample_stratified",
-        "pack_token_budget", "lm_perplexity_filter", "tfidf_top_terms",
+        "pack_token_budget", "lm_perplexity_filter",
+        "lm_perplexity_filter_ref", "lm2_perplexity_filter_ref",
+        "tfidf_top_terms",
         "corpus_shuffle", "dup_ngram_fraction", "dsir_importance",
         "semdedup", "top_ngrams", "corpus_stats",
         "source_overlap_matrix", "mixture_weights", "semdedup_clusters",

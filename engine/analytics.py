@@ -2181,7 +2181,16 @@ def substring_cut_bytes(docs, min_len: int = _SUBSTR_L,
     # lt is bound as a real column so the two span filters read an
     # attribute instead of re-running lower() per lambda call;
     # CollapseProject keeps multi-referenced non-cheap aliases put
-    base = (all_docs.join(cuts, "doc_id", "left")
+    return _byte_splice(all_docs.join(cuts, "doc_id", "left"))
+
+
+def _byte_splice(joined):
+    """Shared byte-preserving splice of the batch and streaming byte
+    cuts: given (doc_id, text, t, c array<bigint> nullable cut token
+    indices), emit (doc_id, n_tokens, n_cut, byte_exact, text) per
+    substring_cut_bytes' contract.  All row-local projections — see
+    that docstring for the span-recovery and fallback semantics."""
+    base = (joined
             .withColumn("c", F.coalesce(
                 "c", F.expr("array()").cast("array<bigint>")))
             .withColumn("cs", F.expr("array_sort(c)"))

@@ -298,6 +298,7 @@ def stream_clean(spark: SparkSession, input_path: str, work_dir: str,
                  plan_probe: list | None = None,
                  sketch: str = "minhash",
                  substring_cut: bool = False,
+                 substring_mode: str = "tokens",
                  semantic_index: str | None = None,
                  sem_embeddings_path: str | None = None):
     """STREAMING corpus cleaning — the continuously-landing form of
@@ -324,7 +325,10 @@ def stream_clean(spark: SparkSession, input_path: str, work_dir: str,
           is always the keeper, and within the batch the smallest
           (doc_id, pos) occurrence keeps, overlap-protected like the
           batch stage; the REBUILT text's windows join the index, so
-          future batches dedup against exactly what shipped]
+          future batches dedup against exactly what shipped;
+          ``substring_mode="bytes"`` splices cut spans out of the
+          ORIGINAL character stream (the batch stage's byte mode,
+          shared _byte_splice) with byte_exact riding the output]
         → PII scrub → cleaned parquet + one metrics row,
 
     and the batch's SURVIVORS (only) join the persisted index, so a
@@ -366,6 +370,7 @@ def stream_clean(spark: SparkSession, input_path: str, work_dir: str,
                          bucketed_name=bucketed_name,
                          plan_probe=plan_probe, sketch=sketch,
                          substring_cut=substring_cut,
+                         substring_mode=substring_mode,
                          semantic_index=semantic_index,
                          sem_embeddings_path=sem_embeddings_path)
 
@@ -377,7 +382,8 @@ def stream_clean(spark: SparkSession, input_path: str, work_dir: str,
 
 
 def _substring_cut_batch(spark: SparkSession, survivors, batch_id,
-                         idx: str, min_len: int = 20):
+                         idx: str, min_len: int = 20,
+                         mode: str = "tokens"):
     """ExactSubstr cut of one stream_clean micro-batch's survivors
     against the persisted window index — the streaming form of
     engine/cleaning.substring_cut_stage.  Keeper rule: an occurrence
@@ -432,17 +438,30 @@ def _substring_cut_batch(spark: SparkSession, survivors, batch_id,
            .agg(F.max(F.col("is_keep").cast("int")).alias("any_keep"))
            .filter(F.col("any_keep") == 0))
     cuts = cut.groupBy("doc_id").agg(F.collect_set("p").alias("c"))
-    rebuilt_txt = (
-        "array_join(filter(transform(t, (x, i) -> "
-        "IF(array_contains(c, cast(i as bigint)), null, x)), "
-        "x -> x is not null), ' ')")
-    rebuilt = (toks_all.join(cuts, "doc_id", "left")
-               .withColumn("c", F.coalesce(
-                   "c", F.expr("array()").cast("array<bigint>")))
-               .select("doc_id",
-                       F.when(F.size("c") == 0, F.col("text"))
-                       .otherwise(F.expr(rebuilt_txt)).alias("text"),
-                       F.size("c").cast("long").alias("n_tokens_cut")))
+    if mode == "bytes":
+        # byte-preserving splice shared with the batch stage
+        # (substring_cut_bytes): touched docs keep every original
+        # character outside the cut spans; byte_exact flows into the
+        # shipped output as a lineage column
+        from engine.analytics import _byte_splice
+        rebuilt = (_byte_splice(toks_all.join(cuts, "doc_id", "left"))
+                   .select("doc_id", "text", "byte_exact",
+                           F.col("n_cut").alias("n_tokens_cut")))
+    else:
+        if mode != "tokens":
+            raise ValueError(f"unknown substring-cut mode: {mode!r}")
+        rebuilt_txt = (
+            "array_join(filter(transform(t, (x, i) -> "
+            "IF(array_contains(c, cast(i as bigint)), null, x)), "
+            "x -> x is not null), ' ')")
+        rebuilt = (toks_all.join(cuts, "doc_id", "left")
+                   .withColumn("c", F.coalesce(
+                       "c", F.expr("array()").cast("array<bigint>")))
+                   .select("doc_id",
+                           F.when(F.size("c") == 0, F.col("text"))
+                           .otherwise(F.expr(rebuilt_txt)).alias("text"),
+                           F.size("c").cast("long")
+                           .alias("n_tokens_cut")))
     wins_out = (rebuilt
                 .select("doc_id", F.expr(_SPARK_TOKS).alias("t"))
                 .filter(F.expr(f"size(t) >= {min_len}"))
@@ -461,6 +480,7 @@ def _clean_one_batch(spark: SparkSession, batch_df, batch_id,
                      plan_probe: list | None = None,
                      sketch: str = "minhash",
                      substring_cut: bool = False,
+                     substring_mode: str = "tokens",
                      semantic_index: str | None = None,
                      sem_embeddings_path: str | None = None) -> None:
     """One stream_clean micro-batch — module-level so the replay test
@@ -576,14 +596,17 @@ def _clean_one_batch(spark: SparkSession, batch_df, batch_id,
         # lifetime choice (like ``sketch``): toggling it mid-stream
         # changes the metrics schema and leaves window-index gaps.
         rebuilt, wins_out, cut_caches = _substring_cut_batch(
-            spark, survivors.select("doc_id", "text"), batch_id, idx)
+            spark, survivors.select("doc_id", "text"), batch_id, idx,
+            mode=substring_mode)
         rebuilt = rebuilt.persist()
         cut_caches.append(rebuilt)
         tokens_cut = int(rebuilt.agg(
             F.coalesce(F.sum("n_tokens_cut"), F.lit(0))).first()[0])
         wins_out.write.mode("overwrite") \
             .parquet(f"{idx}/windows/batch={batch_id}")
-        cleaned_src = rebuilt.select("doc_id", "text")
+        keep = ["doc_id", "text"] + (
+            ["byte_exact"] if "byte_exact" in rebuilt.columns else [])
+        cleaned_src = rebuilt.select(*keep)
     else:
         cleaned_src = survivors.select("doc_id", "text")
 

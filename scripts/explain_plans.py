@@ -90,7 +90,8 @@ def main() -> int:
     for qname in ("ann_lsh_top1", "dedup_embedding_cosine",
                   "dedup_minhash_lsh", "simhash_hamming_candidates",
                   "dedup_ngram_jaccard", "dedup_substring",
-                  "dedup_substring_cut"):
+                  "dedup_substring_cut", "dedup_substring_cut_bytes",
+                  "lm_perplexity_filter_ref", "lm2_perplexity_filter_ref"):
         fn, _ = _REGISTRY[qname]
         qdf = fn(spark, "/root/testdata/sf0.001")
         analyzed = explain_str(qdf, "extended")

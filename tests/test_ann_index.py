@@ -138,3 +138,42 @@ def test_ann_index_sampled_fit_and_wider_probe(spark, tmp_path):
     # nprobe=4's candidate set contains nprobe=2's
     assert {r.vec_id for r in t2} <= {r.vec_id for r in t4} \
         or t2[0].vec_id == t4[0].vec_id
+
+
+def test_ann_index_append_heals_unreadable_sidecar(spark, tmp_path):
+    """ADVICE r6 item 1: a crash MID-overwrite of the cell_counts
+    sidecar can leave the directory existing but holding no readable
+    parquet (only _temporary debris).  The next append must degrade to
+    the full-recount reconciliation and rebuild a correct sidecar —
+    not crash every subsequent append."""
+    import os
+    import shutil
+
+    from engine.index import append_to_ann_index
+
+    emb = _lsh_embeddings(
+        spark.read.parquet(f"{SF}/embeddings.parquet")).select("vec_id", "e")
+    path = str(tmp_path / "ivf_torn")
+    write_ann_index(emb.filter(F.col("vec_id") % 2 == 0), path)
+
+    # simulate the torn overwrite: dir exists, no readable parquet
+    shutil.rmtree(f"{path}/cell_counts")
+    os.makedirs(f"{path}/cell_counts/_temporary")
+
+    stats = append_to_ann_index(emb.filter(F.col("vec_id") % 2 == 1), path)
+    assert stats["appended"] > 0
+
+    # the sidecar healed: per-cell counts again equal the members tree
+    counts = {r.cell: r.n for r in
+              spark.read.parquet(f"{path}/cell_counts").collect()}
+    members = {r.cell: r.n for r in
+               spark.read.parquet(f"{path}/members")
+               .groupBy("cell").agg(F.count("*").alias("n")).collect()}
+    assert counts == members
+
+    # and probes still work end-to-end
+    target = emb.filter(F.col("vec_id") == 11).first().e
+    top = ann_query_index(spark, path,
+                          [target[0] + 0.01] + list(target[1:]),
+                          nprobe=2, k=5).collect()
+    assert top[0].vec_id == 11

@@ -287,3 +287,58 @@ def test_stream_clean_semantic_gate(spark, tmp_path):
     q.awaitTermination(120)
     assert {r.doc_id for r in
             spark.read.parquet(f"{work}/cleaned").collect()} == ids
+
+
+def test_stream_clean_substring_cut_bytes_mode(spark, tmp_path):
+    """stream_clean(substring_cut=True, substring_mode='bytes'): the
+    streaming cut splices the duplicated run's characters out of the
+    ORIGINAL text — mixed case and double spaces of arriving survivors
+    ship verbatim outside the cut span; byte_exact rides the output;
+    replays rewrite identically."""
+    from engine.streaming import _clean_one_batch
+
+    S = ["s0", "the", "s1", "s2", "the", "s3", "s4", "the", "s5",
+         "s6", "the", "s7", "s8", "the", "s9", "s10", "the", "s11",
+         "s12", "the", "s13", "s14", "the", "s15", "s16"]
+    sj = " ".join(S)
+
+    def filler(prefix, n):
+        out = []
+        for i in range(n):
+            out.append(f"{prefix}{i}")
+            if i % 5 == 4:
+                out.append("the")
+        return out
+
+    # mixed-case fillers; the shared run is lowercase in both docs
+    text_a = " ".join(filler("Ka", 60)) + "  " + sj + " TailA"
+    text_b = " ".join(filler("Mb", 60)) + " " + sj + "  OutB"
+    work = str(tmp_path / "work")
+
+    b0 = spark.createDataFrame([(1, text_a)], "doc_id long, text string")
+    _clean_one_batch(spark, b0, 0, work, substring_cut=True,
+                     substring_mode="bytes")
+    out0 = spark.read.parquet(f"{work}/cleaned/batch=0").first()
+    assert out0.text == text_a and out0.byte_exact   # ships verbatim
+
+    b1 = spark.createDataFrame([(2, text_b)], "doc_id long, text string")
+    _clean_one_batch(spark, b1, 1, work, substring_cut=True,
+                     substring_mode="bytes")
+    out1 = spark.read.parquet(f"{work}/cleaned/batch=1").first()
+    assert out1.byte_exact
+    assert sj not in out1.text
+    # the maximal repeat is 26 tokens (both fillers END with the
+    # stopword "the", which butts against the planted run — the same
+    # maximality quirk the batch fixtures pin), so B loses its
+    # trailing "the" + the 25-token run; everything outside is
+    # ORIGINAL bytes, with the 25 inter-cut gaps left in place
+    assert out1.text == " ".join(filler("Mb", 60))[:-3] \
+        + " " * 25 + "  OutB"
+    m1 = spark.read.parquet(f"{work}/metrics/batch=1").first()
+    assert m1.substring_tokens_cut == 26
+
+    # replay: identical rewrite
+    _clean_one_batch(spark, b1, 1, work, substring_cut=True,
+                     substring_mode="bytes")
+    again = spark.read.parquet(f"{work}/cleaned/batch=1").first()
+    assert again.text == out1.text and again.byte_exact
