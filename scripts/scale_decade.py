@@ -54,7 +54,8 @@ SUITE = [
     "dup_ngram_fraction", "dsir_importance", "top_ngrams",
     "corpus_stats", "source_overlap_matrix", "mixture_weights",
     "lm2_perplexity_filter", "dedup_substring", "dedup_substring_cut",
-    "doc_embedding_hashed",
+    "dedup_substring_cut_bytes", "doc_embedding_hashed",
+    "lm_perplexity_filter_ref", "lm2_perplexity_filter_ref",
 ]
 if os.environ.get("SCALE_SUITE"):  # subset override for re-runs
     SUITE = os.environ["SCALE_SUITE"].split(",")
