@@ -837,7 +837,6 @@ def _simhash_chunks(docs):
     split (few huge files / single row group) would otherwise serialize
     it on a handful of tasks — the same move a cluster job makes when
     scan parallelism < core count."""
-    spark = docs.sparkSession
     docs = _spread(docs)
     # the first 16 hex chars (64 bits) of each token's MD5, decoded as
     # two 32-bit halves with conv() — ~2.6× faster than per-bit substr/
@@ -1026,7 +1025,6 @@ def _simhash128_chunks(docs):
     docstring for the CollapseProject/lambda-binding constraints,
     which apply verbatim), with the token's FULL MD5 decoded into
     four bound 32-bit words."""
-    spark = docs.sparkSession
     docs = _spread(docs)
     words = ("array(" + ", ".join(
         f"cast(conv(substr(h, {1 + 8 * w}, 8), 16, 10) AS bigint)"
@@ -1969,7 +1967,7 @@ def substring_dedup_spans(docs, min_len: int = _SUBSTR_L,
     persisted (ADVICE r6 item 2 — the registered driver queries pass
     none, so they leak nothing); the two readers then share the
     repartition exchange via ReusedExchange."""
-    toks, starts = _substring_dup_starts(docs, min_len, cache_registry)
+    _toks, starts = _substring_dup_starts(docs, min_len, cache_registry)
     return _merge_span_islands(starts.select("doc_id", "pos"), min_len)
 
 
@@ -2050,7 +2048,7 @@ def _substring_cut_sets(docs, min_len: int,
     (3 shuffles -> 1; measured 3.1 -> ~1 s at sf0.1); the position
     explosion is confined to DUPLICATED regions, and the per-doc
     collect_set is bounded by the doc's own length."""
-    toks, starts = _substring_dup_starts(docs, min_len, cache_registry)
+    _toks, starts = _substring_dup_starts(docs, min_len, cache_registry)
     keep = starts.groupBy("wkey").agg(
         F.min(F.struct("doc_id", "pos")).alias("k"))
     s2 = (starts.join(keep, "wkey")
@@ -2178,9 +2176,6 @@ def substring_cut_bytes(docs, min_len: int = _SUBSTR_L,
                 .select("doc_id", "text",
                         F.expr(_SPARK_TOKS).alias("t")))
     cuts = _substring_cut_sets(docs, min_len, cache_registry)
-    # lt is bound as a real column so the two span filters read an
-    # attribute instead of re-running lower() per lambda call;
-    # CollapseProject keeps multi-referenced non-cheap aliases put
     return _byte_splice(all_docs.join(cuts, "doc_id", "left"))
 
 
@@ -2189,7 +2184,10 @@ def _byte_splice(joined):
     cuts: given (doc_id, text, t, c array<bigint> nullable cut token
     indices), emit (doc_id, n_tokens, n_cut, byte_exact, text) per
     substring_cut_bytes' contract.  All row-local projections — see
-    that docstring for the span-recovery and fallback semantics."""
+    that docstring for the span-recovery and fallback semantics.
+    ``lt`` is bound as a real column so the two span filters read an
+    attribute instead of re-running lower() per lambda call;
+    CollapseProject keeps multi-referenced non-cheap aliases put."""
     base = (joined
             .withColumn("c", F.coalesce(
                 "c", F.expr("array()").cast("array<bigint>")))
@@ -3620,7 +3618,6 @@ def doc_hashed_embeddings(docs, dims: int = _HASHED_EMB_D):
     build is a single fused projection (O(D·n) per row — the pure-
     projection trade; a sparse (bucket, weight) pair format with an
     explode+groupBy is the alternative once D·n dominates)."""
-    spark = docs.sparkSession
     h60 = ("cast(conv(substr(md5(cast(x as binary)), 18, 15), 16, 10) "
            "as bigint)")
     toks = (_spread(docs.select("doc_id", F.expr(_SPARK_TOKS).alias("t"))

@@ -574,6 +574,11 @@ def _clean_one_batch(spark: SparkSession, batch_df, batch_id,
     n_sem = None
     nd_survivors = survivors
     if semantic_index is not None:
+        if sem_embeddings_path is None:
+            raise ValueError(
+                "semantic_index requires sem_embeddings_path — the "
+                "streaming semantic gate looks arriving survivors' "
+                "embeddings up by doc_id")
         emb = (spark.read.parquet(sem_embeddings_path)
                .join(survivors.select(F.col("doc_id").alias("vec_id")),
                      "vec_id", "left_semi"))

@@ -87,11 +87,12 @@ def main() -> int:
     # (AQE may still CHOOSE broadcast at tiny SF — that's runtime
     # adaptivity, not a plan assumption; a ResolvedHint or a cartesian
     # in the analyzed plan would be a 10^9-vector scale bug)
+    # (the LM-family queries are NOT here: their F.broadcast(tot) is a
+    # 1-row totals frame — a correct hint, not a size assumption)
     for qname in ("ann_lsh_top1", "dedup_embedding_cosine",
                   "dedup_minhash_lsh", "simhash_hamming_candidates",
                   "dedup_ngram_jaccard", "dedup_substring",
-                  "dedup_substring_cut", "dedup_substring_cut_bytes",
-                  "lm_perplexity_filter_ref", "lm2_perplexity_filter_ref"):
+                  "dedup_substring_cut", "dedup_substring_cut_bytes"):
         fn, _ = _REGISTRY[qname]
         qdf = fn(spark, "/root/testdata/sf0.001")
         analyzed = explain_str(qdf, "extended")
