@@ -66,6 +66,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY_FIRST = [
     # new in r7 (no prior driver row can exist):
     "dedup_substring_cut_bytes",
+    "decontaminate_cut",
     "lm_perplexity_filter_ref",
     "lm2_perplexity_filter_ref",
     # r6-touched semantics (conditional original-text emit / single

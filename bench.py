@@ -153,7 +153,7 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         "doc_embedding_hashed",
         "ann_cosine_topk", "ann_lsh_top1",
         "ann_ivf_topk", "ann_ivf_sampled_topk", "winnowing_overlap",
-        "decontaminate_ngram", "gopher_repetition",
+        "decontaminate_ngram", "decontaminate_cut", "gopher_repetition",
         "neardup_pairs_simhash128", "sample_stratified",
         "pack_token_budget", "lm_perplexity_filter",
         "lm_perplexity_filter_ref", "lm2_perplexity_filter_ref",

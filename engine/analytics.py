@@ -1690,6 +1690,179 @@ def decontaminate_gate(docs, bench, n: int = None):
     return docs.join(flagged, "doc_id", "left_anti")
 
 
+def decontaminate_cut(docs, bench, n: int = None):
+    """SPAN-LEVEL benchmark decontamination — the surgical form of
+    decontaminate_gate: instead of dropping every document that shares
+    an ``n``-token n-gram with the evaluation suite, cut exactly the
+    CONTAMINATED token positions (every position covered by a
+    colliding n-token window) and keep the rest of the document —
+    at realistic contamination rates a flagged doc is a good document
+    carrying one quoted benchmark passage, and whole-doc dropping
+    throws the good 99% away.  Returns (doc_id, n_tokens, n_cut,
+    byte_exact, text): the byte-preserving splice of
+    substring_cut_bytes (untouched docs verbatim; touched docs keep
+    every original character outside the cut spans; the rare
+    expanding-lowercase rows fall back to the token join with
+    byte_exact = false).
+
+    NO keeper logic, deliberately: dedup keeps one occurrence because
+    the content should survive once; decontamination's contract is
+    that eval text must not survive AT ALL, so every colliding
+    occurrence is cut.
+
+    Trust basis: same 60-bit gram hashes as decontaminate_gate /
+    q_decontaminate_ngram (both engines share the literal hash, so
+    results are identical; a 2^60 collision cuts an innocent ≤n-token
+    span — the flag family's documented trade, and strictly less
+    collateral than the gate's whole-doc drop on the same collision).
+
+    Scale shape: eval gram set DISTINCT-ed and BROADCAST (eval-suite-
+    sized); the corpus side is ONE window scan with positions, the
+    cover explosion is confined to CONTAMINATED regions, the per-doc
+    collect_set is bounded by the doc's own length, and the splice is
+    row-local — no corpus-wide shuffle at all beyond the per-doc
+    cut-set groupBy."""
+    if n is None:
+        n = _DECON_N
+    all_docs = (_spread(docs)
+                .select("doc_id", "text",
+                        F.expr(_SPARK_TOKS).alias("t")))
+    bench_toks = (bench.select(F.expr(_SPARK_TOKS).alias("t"))
+                  .filter(F.expr(f"size(t) >= {n}")))
+    bench_gram = (f"transform(sequence(1, size(t) - {n} + 1), "
+                  f"i -> array_join(slice(t, i, {n}), ' '))")
+    bench_h = (bench_toks
+               .select(F.explode(F.expr(bench_gram)).alias("g"))
+               .select(F.expr(_h64("g")).alias("h")).distinct())
+    gram_at_i = _h64(f"array_join(slice(t, i, {n}), ' ')")
+    wins = (all_docs.filter(F.expr(f"size(t) >= {n}"))
+            .select("doc_id", F.posexplode(F.expr(
+                f"transform(sequence(1, size(t) - {n} + 1), i -> "
+                f"{gram_at_i})"))
+                .alias("pos", "h"))
+            .select("doc_id", F.col("pos").cast("long").alias("pos"),
+                    "h"))
+    hits = wins.join(F.broadcast(bench_h), "h", "left_semi")
+    cover = hits.select(
+        "doc_id",
+        F.explode(F.expr(f"sequence(pos, pos + {n} - 1)")).alias("p"))
+    cuts = cover.groupBy("doc_id").agg(F.collect_set("p").alias("c"))
+    return _byte_splice(all_docs.join(cuts, "doc_id", "left"))
+
+
+_DUCK_DECON_CUT = f"""
+WITH base AS (SELECT doc_id, text FROM documents),
+inject AS (
+  SELECT array_to_string(list_slice({_DUCK_TOKS}, 1, {_DECON_N}), ' ')
+    AS frag
+  FROM base WHERE doc_id = 0
+), aug AS (
+  SELECT b.doc_id,
+         CASE WHEN b.doc_id % 10 = 3 AND b.doc_id % 97 <> 0
+              THEN b.text || ' ' || i.frag ELSE b.text END AS text
+  FROM base b, inject i
+), toks AS (
+  SELECT doc_id, text, {_DUCK_TOKS} AS t FROM aug
+  WHERE doc_id % 97 <> 0
+), bench AS (
+  SELECT DISTINCT {_duck_h64("g")} AS h FROM (
+    SELECT unnest(list_transform(
+             range(1, len({_DUCK_TOKS}) - {_DECON_N} + 2),
+             i -> array_to_string(
+               list_slice({_DUCK_TOKS}, i, i + {_DECON_N} - 1), ' ')))
+      AS g
+    FROM aug WHERE doc_id % 97 = 0
+      AND len({_DUCK_TOKS}) >= {_DECON_N})
+), wins AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS pos, {_duck_h64("u.g")} AS h
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(0, len(t) - {_DECON_N} + 1),
+             i -> {{'i': i, 'g': array_to_string(
+                     list_slice(t, i + 1, i + {_DECON_N}), ' ')}})) AS u
+    FROM toks WHERE len(t) >= {_DECON_N})
+), hits AS (
+  SELECT w.doc_id, w.pos FROM wins w
+  WHERE w.h IN (SELECT h FROM bench)
+), cover AS (
+  SELECT DISTINCT doc_id,
+         unnest(range(pos, pos + {_DECON_N})) AS p
+  FROM hits
+), cuts AS (
+  SELECT doc_id, list_sort(list(p)) AS cs FROM cover GROUP BY doc_id
+), spans AS (
+  SELECT t.doc_id, t.t, t.text, lower(t.text) AS lt,
+         COALESCE(cu.cs, []) AS cs,
+         length(lower(t.text)) = length(t.text) AS lp
+  FROM toks t
+  LEFT JOIN cuts cu ON cu.doc_id = t.doc_id
+), sp2 AS (
+  SELECT doc_id, t, text, cs, lp,
+         list_filter(range(1, greatest(length(lt), 1) + 1),
+           i -> substr(lt, i, 1) != ' ' AND
+                (i = 1 OR substr(lt, i - 1, 1) = ' ')) AS st,
+         list_filter(range(1, greatest(length(lt), 1) + 1),
+           i -> substr(lt, i, 1) != ' ' AND
+                (i = length(lt) OR substr(lt, i + 1, 1) = ' ')) AS en
+  FROM spans
+)
+SELECT doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(len(cs) AS BIGINT) AS n_cut,
+       CAST(lp OR len(cs) = 0 AS INT) AS byte_exact,
+       md5(CASE
+         WHEN len(cs) = 0 THEN text
+         WHEN lp THEN array_to_string(
+           list_transform(range(0, len(cs) + 1), k ->
+             substr(text,
+               CASE WHEN k = 0 THEN 1
+                    ELSE en[CAST(cs[k] AS INT) + 1] + 1 END,
+               greatest(
+                 (CASE WHEN k = len(cs) THEN length(text)
+                       ELSE st[CAST(cs[k + 1] AS INT) + 1] - 1 END)
+                 - (CASE WHEN k = 0 THEN 1
+                         ELSE en[CAST(cs[k] AS INT) + 1] + 1 END)
+                 + 1, 0))), '')
+         ELSE COALESCE(array_to_string(
+           list_filter(
+             list_transform(range(1, len(t) + 1),
+               i -> CASE WHEN list_contains(cs, i - 1)
+                         THEN NULL ELSE t[i] END),
+             x -> x IS NOT NULL), ' '), '')
+       END) AS text_md5
+FROM sp2
+"""
+
+
+@register("decontaminate_cut", _DUCK_DECON_CUT)
+def q_decontaminate_cut(spark, sf_dir):
+    """Driver query: decontaminate_cut over the q_decontaminate_ngram
+    plant construction (benchmark = the doc_id % 97 == 0 slice; every
+    (doc_id % 10 == 3) non-benchmark doc carries benchmark doc 0's
+    opening 13-gram appended) — the universe is the NON-benchmark
+    docs, each reporting its cut count and the md5 of the
+    byte-spliced text (planted docs lose exactly the appended
+    fragment's positions; untouched docs hash their original bytes
+    verbatim)."""
+    docs = (_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    inject = (docs.filter(F.col("doc_id") == 0)
+              .select(F.expr(
+                  f"array_join(slice({_SPARK_TOKS}, 1, {_DECON_N}), ' ')")
+                  .alias("frag")))
+    aug = (docs.crossJoin(F.broadcast(inject))
+           .select("doc_id",
+                   F.when((F.col("doc_id") % 10 == 3)
+                          & (F.col("doc_id") % 97 != 0),
+                          F.concat_ws(" ", "text", "frag"))
+                   .otherwise(F.col("text")).alias("text")))
+    out = decontaminate_cut(aug.filter(F.col("doc_id") % 97 != 0),
+                            aug.filter(F.col("doc_id") % 97 == 0))
+    return out.select("doc_id", "n_tokens", "n_cut",
+                      F.col("byte_exact").cast("int").alias("byte_exact"),
+                      F.md5(F.col("text").cast("binary"))
+                      .alias("text_md5"))
+
+
 @register("decontaminate_ngram", _DUCK_DECON)
 def q_decontaminate_ngram(spark, sf_dir):
     """Benchmark DECONTAMINATION — the training-data op that removes

@@ -316,7 +316,8 @@ def cleaning_stages(docs: DataFrame, neardup_policy: str = "pairwise",
                     substring_cut: bool = False,
                     substring_mode: str = "tokens",
                     lm_corpus: DataFrame = None,
-                    decontaminate: DataFrame = None) -> dict:
+                    decontaminate: DataFrame = None,
+                    decontaminate_mode: str = "drop") -> dict:
     """The job's stage DataFrames, each boundary PERSISTED.
 
     Every stage output is referenced more than once downstream (exact
@@ -333,12 +334,31 @@ def cleaning_stages(docs: DataFrame, neardup_policy: str = "pairwise",
     if gopher_gate:
         gated = gopher_repetition_gate(gated)
     if decontaminate is not None:
-        # benchmark decontamination rides the gate chain (a drop is a
-        # drop): documents sharing any 13-gram with the eval frame
-        # never reach the dedup stages; its removals land inside the
-        # after_quality_language funnel row
-        from engine.analytics import decontaminate_gate
-        gated = decontaminate_gate(gated, decontaminate)
+        if decontaminate_mode == "cut":
+            # SURGICAL decontamination (decontaminate_cut): the
+            # contaminated spans are excised byte-preservingly and the
+            # document SURVIVES — it runs here, before any dedup, so
+            # every downstream content hash / shingle / window is
+            # computed over decontaminated text; adds the
+            # n_decontaminated_tokens lineage column
+            from engine.analytics import decontaminate_cut
+            keep_cols = [c for c in gated.columns if c != "text"]
+            rewritten = decontaminate_cut(
+                gated.select("doc_id", "text"), decontaminate)
+            gated = (gated.select(*keep_cols)
+                     .join(rewritten.select(
+                         "doc_id", "text", F.col("n_cut")
+                         .alias("n_decontaminated_tokens")), "doc_id"))
+        elif decontaminate_mode == "drop":
+            # benchmark decontamination as a gate (a drop is a drop):
+            # documents sharing any 13-gram with the eval frame never
+            # reach the dedup stages; its removals land inside the
+            # after_quality_language funnel row
+            from engine.analytics import decontaminate_gate
+            gated = decontaminate_gate(gated, decontaminate)
+        else:
+            raise ValueError(
+                f"unknown decontaminate mode: {decontaminate_mode!r}")
     if model_gate:
         gated = model_quality_gate(gated, model_gate,
                                    lm_corpus=lm_corpus)
@@ -382,7 +402,8 @@ def run_cleaning_job(spark: SparkSession, input_path: str,
                      substring_cut: bool = False,
                      substring_mode: str = "tokens",
                      lm_corpus_path: str = None,
-                     decontaminate_path: str = None) -> dict:
+                     decontaminate_path: str = None,
+                     decontaminate_mode: str = "drop") -> dict:
     """documents parquet in → cleaned corpus parquet out, one JSON-able
     metrics dict back (per-stage survivor counts reconcile the run the
     way the extraction pipeline's lineage rows do).
@@ -422,7 +443,8 @@ def run_cleaning_job(spark: SparkSession, input_path: str,
                              substring_cut=substring_cut,
                              substring_mode=substring_mode,
                              lm_corpus=lm_ref,
-                             decontaminate=decon)
+                             decontaminate=decon,
+                             decontaminate_mode=decontaminate_mode)
     obs = Observation()
     observations = [
         F.count(F.lit(1)).alias("rows_out"),
@@ -437,9 +459,16 @@ def run_cleaning_job(spark: SparkSession, input_path: str,
     metrics = {
         "rows_in": docs.count(),
         "after_quality_language": stages["gated"].count(),
+    }
+    if decontaminate_path is not None and decontaminate_mode == "cut":
+        # cache-read agg over the persisted gated boundary
+        metrics["decontaminated_tokens_cut"] = int(
+            stages["gated"].agg(F.coalesce(
+                F.sum("n_decontaminated_tokens"), F.lit(0))).first()[0])
+    metrics.update({
         "after_exact_dedup": stages["exact"].count(),
         "after_neardup_removal": stages["survivors"].count(),
-    }
+    })
     if "semantic" in stages:
         metrics["after_semantic_dedup"] = stages["semantic"].count()
     metrics.update({

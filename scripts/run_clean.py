@@ -51,9 +51,14 @@ def main() -> None:
                         "contract); default: self-trained on the "
                         "frame being gated")
     p.add_argument("--decontaminate", default=None, metavar="EVAL_PATH",
-                   help="benchmark decontamination gate: drop docs "
+                   help="benchmark decontamination: act on docs "
                         "sharing any 13-gram with this (doc_id, text) "
                         "evaluation parquet")
+    p.add_argument("--decontaminate-mode", default="drop",
+                   choices=["drop", "cut"],
+                   help="drop: remove the whole contaminated document "
+                        "(gate); cut: excise only the contaminated "
+                        "spans byte-preservingly and keep the doc")
     p.add_argument("--substring-cut", action="store_true",
                    help="rewrite stage: cut duplicated >=20-token "
                         "substrings position-wise (global-first "
@@ -89,7 +94,8 @@ def main() -> None:
                                substring_cut=args.substring_cut,
                                substring_mode=args.substring_mode,
                                lm_corpus_path=args.lm_corpus,
-                               decontaminate_path=args.decontaminate)
+                               decontaminate_path=args.decontaminate,
+                               decontaminate_mode=args.decontaminate_mode)
     print(json.dumps(metrics))
 
 

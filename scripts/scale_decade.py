@@ -55,6 +55,7 @@ SUITE = [
     "corpus_stats", "source_overlap_matrix", "mixture_weights",
     "lm2_perplexity_filter", "dedup_substring", "dedup_substring_cut",
     "dedup_substring_cut_bytes", "doc_embedding_hashed",
+    "decontaminate_cut",
     "lm_perplexity_filter_ref", "lm2_perplexity_filter_ref",
 ]
 if os.environ.get("SCALE_SUITE"):  # subset override for re-runs

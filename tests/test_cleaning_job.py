@@ -448,3 +448,51 @@ def test_cleaning_job_lm_corpus_reference_gate(spark, tmp_path):
                spark.read.parquet(str(tmp_path / "out_ref"))
                .select("doc_id").collect()}
     assert ref_ids and ref_ids <= set(range(50))
+
+
+def test_cleaning_job_decontaminate_cut_mode(spark, tmp_path):
+    """--decontaminate-mode cut: the contaminated document SURVIVES
+    with exactly the quoted benchmark span excised byte-preservingly
+    (its own mixed-case context intact); the funnel reports the token
+    count and drops nothing; downstream dedup hashes the
+    decontaminated text (the plant is no longer a near-dup of its
+    host once the shared span is gone... it still is of the host's
+    own text — so the plant is constructed with DISTINCT filler)."""
+    frag = " ".join(f"benchq{i}" for i in range(20))
+    bench_path = str(tmp_path / "bench")
+    spark.createDataFrame(
+        [(0, f"the evaluation question reads {frag} and the answer "
+             "must be given in full sentences by the candidate")],
+        "doc_id long, text string").write.parquet(bench_path)
+
+    def filler(prefix, n):
+        out = []
+        for i in range(n):
+            out.append(f"{prefix}{i}")
+            if i % 5 == 4:
+                out.append("the")
+        return out
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plant_text = " ".join(filler("Quoter", 30)) + "  " + frag + " " \
+        + " ".join(filler("After", 20))
+    inp = str(tmp_path / "docs_con")
+    docs.unionByName(spark.createDataFrame(
+        [(901, plant_text, "en", "synthetic", 1)],
+        docs.schema)).write.parquet(inp)
+
+    out = str(tmp_path / "decon_cut")
+    m = run_cleaning_job(spark, inp, out,
+                         decontaminate_path=bench_path,
+                         decontaminate_mode="cut")
+    rows = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert 901 in rows                        # survives in cut mode
+    assert m["decontaminated_tokens_cut"] == 20
+    assert frag not in rows[901].text
+    # byte-preserving: the mixed-case context and double space remain
+    assert rows[901].text == " ".join(filler("Quoter", 30)) + "  " \
+        + " " * 19 + " " + " ".join(filler("After", 20))
+    assert rows[901].n_decontaminated_tokens == 20
+    # nothing else touched: every other survivor reports 0
+    assert all(r.n_decontaminated_tokens == 0
+               for d, r in rows.items() if d != 901)

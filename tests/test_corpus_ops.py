@@ -311,3 +311,33 @@ def test_substring_cut_bytes_falls_back_on_expanding_lowercase(
     assert got[2].text == "i̇stanbul intro outro"   # normalized fallback
     assert got[3].n_cut == 0 and got[3].byte_exact
     assert got[3].text == doc3                     # verbatim
+
+
+def test_decontaminate_cut_excises_quoted_benchmark_passage(spark):
+    """Span-level decontamination: a document QUOTING a 20-token
+    benchmark passage mid-text loses exactly those positions (byte-
+    preserving — its own mixed-case context survives verbatim), the
+    document itself SURVIVES (the gate would drop it whole), and
+    clean documents pass byte-identically."""
+    from engine.analytics import decontaminate_cut
+
+    passage = " ".join(f"bench{i}" for i in range(20))
+    bench = spark.createDataFrame(
+        [(0, "Preamble words here " + passage + " closing remark")],
+        "doc_id long, text string")
+    doc1 = "My OWN Context  before " + passage + " and My  Tail x1"
+    doc2 = "Totally Clean  document with " + " ".join(
+        f"w{i}" for i in range(15))
+    docs = spark.createDataFrame(
+        [(1, doc1), (2, doc2)], "doc_id long, text string")
+
+    got = {r.doc_id: r for r in decontaminate_cut(docs, bench).collect()}
+
+    # every position of the quoted passage is covered by some
+    # colliding 13-gram window -> all 20 tokens cut, no keeper
+    assert got[1].n_cut == 20 and got[1].byte_exact
+    assert passage not in got[1].text
+    assert got[1].text == "My OWN Context  before " + " " * 19 \
+        + " and My  Tail x1"
+    # clean doc: byte-identical, zero cut
+    assert got[2].n_cut == 0 and got[2].text == doc2

@@ -288,6 +288,22 @@ def test_stream_clean_semantic_gate(spark, tmp_path):
     assert {r.doc_id for r in
             spark.read.parquet(f"{work}/cleaned").collect()} == ids
 
+    # compaction applies the funnel's DEFERRED removal: the new index
+    # version loses the indexed member 1008 (whose removal could only
+    # be logged) AND the funnel-dropped arrival 10011, and gains the
+    # shipped streamed members
+    from engine.index import compact_semdedup_stream
+    out_idx = str(tmp_path / "ann_v2")
+    stats = compact_semdedup_stream(spark, idx, f"{work}/index/sem",
+                                    out_idx)
+    new_ids = {r.vec_id for r in
+               spark.read.parquet(f"{out_idx}/members")
+               .select("vec_id").collect()}
+    assert 1008 not in new_ids          # logged removal applied
+    assert 10011 not in new_ids         # funnel-removed arrival gone
+    assert {10001, 10012, 10014} <= new_ids
+    assert stats["n_removed"] == 2
+
 
 def test_stream_clean_substring_cut_bytes_mode(spark, tmp_path):
     """stream_clean(substring_cut=True, substring_mode='bytes'): the
