@@ -300,12 +300,19 @@ def stream_clean(spark: SparkSession, input_path: str, work_dir: str,
                  substring_cut: bool = False,
                  substring_mode: str = "tokens",
                  semantic_index: str | None = None,
-                 sem_embeddings_path: str | None = None):
+                 sem_embeddings_path: str | None = None,
+                 decontaminate_path: str | None = None,
+                 decontaminate_mode: str = "drop"):
     """STREAMING corpus cleaning — the continuously-landing form of
     engine/cleaning.py's batch job, composed from the family's
     streaming members: per micro-batch,
 
         quality/language gates (+ optional Gopher repetition gate)
+        → [benchmark decontamination vs a static eval parquet
+          (``decontaminate_path``): mode "drop" gates contaminated
+          docs out, mode "cut" excises the contaminated spans
+          byte-preservingly BEFORE the content hash — stateless per
+          batch, replay-identical by construction]
         → exact dedup (within batch AND against the survivor hash
           index — first occurrence wins)
         → near-dup removal (MinHash vs the survivor band index +
@@ -372,7 +379,9 @@ def stream_clean(spark: SparkSession, input_path: str, work_dir: str,
                          substring_cut=substring_cut,
                          substring_mode=substring_mode,
                          semantic_index=semantic_index,
-                         sem_embeddings_path=sem_embeddings_path)
+                         sem_embeddings_path=sem_embeddings_path,
+                         decontaminate_path=decontaminate_path,
+                         decontaminate_mode=decontaminate_mode)
 
     writer = (stream.writeStream.foreachBatch(_process)
               .option("checkpointLocation", checkpoint_path))
@@ -482,7 +491,9 @@ def _clean_one_batch(spark: SparkSession, batch_df, batch_id,
                      substring_cut: bool = False,
                      substring_mode: str = "tokens",
                      semantic_index: str | None = None,
-                     sem_embeddings_path: str | None = None) -> None:
+                     sem_embeddings_path: str | None = None,
+                     decontaminate_path: str | None = None,
+                     decontaminate_mode: str = "drop") -> None:
     """One stream_clean micro-batch — module-level so the replay test
     can re-invoke it with the same batch_id and assert the rewrite is
     identical (the crash-after-index-write/before-commit window).
@@ -504,6 +515,26 @@ def _clean_one_batch(spark: SparkSession, batch_df, batch_id,
     gated = quality_language_gate(batch)
     if gopher_gate:
         gated = gopher_repetition_gate(gated)
+    if decontaminate_path is not None:
+        # benchmark decontamination against a STATIC eval parquet —
+        # stateless per batch (the eval gram set broadcasts each
+        # trigger; no stream index involved), so replay-identical by
+        # construction.  Mirrors the batch job's two modes: drop =
+        # the gate; cut = the byte-preserving span excision BEFORE
+        # the content hash, so exact/near-dup/window state all see
+        # decontaminated text.
+        bench = spark.read.parquet(decontaminate_path)
+        if decontaminate_mode == "cut":
+            from engine.analytics import decontaminate_cut
+            gated = (decontaminate_cut(
+                gated.select("doc_id", "text"), bench)
+                .select("doc_id", "text"))
+        elif decontaminate_mode == "drop":
+            from engine.analytics import decontaminate_gate
+            gated = decontaminate_gate(gated, bench)
+        else:
+            raise ValueError(
+                f"unknown decontaminate mode: {decontaminate_mode!r}")
     gated = gated.withColumn(
         "content_hash",
         F.md5(F.col("text").cast("binary"))).persist()

@@ -358,3 +358,71 @@ def test_stream_clean_substring_cut_bytes_mode(spark, tmp_path):
                      substring_mode="bytes")
     again = spark.read.parquet(f"{work}/cleaned/batch=1").first()
     assert again.text == out1.text and again.byte_exact
+
+
+def test_stream_clean_decontaminate_modes(spark, tmp_path):
+    """Streaming decontamination vs a static eval parquet: mode 'drop'
+    gates the contaminated arrival out; mode 'cut' ships it with the
+    quoted span excised byte-preservingly (before the content hash, so
+    the survivor state indexes decontaminated text); stateless per
+    batch — a replay rewrites identically."""
+    from engine.streaming import _clean_one_batch
+
+    frag = " ".join(f"benchq{i}" for i in range(20))
+    bench_path = str(tmp_path / "bench")
+    spark.createDataFrame(
+        [(0, f"the evaluation question reads {frag} and the answer "
+             "must be given in full sentences by the candidate")],
+        "doc_id long, text string").write.parquet(bench_path)
+
+    def filler(prefix, n):
+        out = []
+        for i in range(n):
+            out.append(f"{prefix}{i}")
+            if i % 5 == 4:
+                out.append("the")
+        return out
+
+    clean_text = " ".join(filler("Clean", 40))
+    con_text = " ".join(filler("Host", 30)) + "  " + frag + " " \
+        + " ".join(filler("Tail", 20))
+    b0 = spark.createDataFrame([(1, clean_text)],
+                               "doc_id long, text string")
+    b1 = spark.createDataFrame([(2, con_text)],
+                               "doc_id long, text string")
+
+    # drop mode: the contaminated arrival never ships
+    wd = str(tmp_path / "w_drop")
+    _clean_one_batch(spark, b0, 0, wd, decontaminate_path=bench_path)
+    _clean_one_batch(spark, b1, 1, wd, decontaminate_path=bench_path)
+    ids = {r.doc_id for r in
+           spark.read.parquet(f"{wd}/cleaned").collect()}
+    assert ids == {1}
+    m1 = spark.read.parquet(f"{wd}/metrics/batch=1").first()
+    assert (m1.rows_in, m1.after_gates) == (1, 0)
+
+    # cut mode: it ships, span excised, bytes preserved outside
+    wc = str(tmp_path / "w_cut")
+    _clean_one_batch(spark, b0, 0, wc, decontaminate_path=bench_path,
+                     decontaminate_mode="cut")
+    _clean_one_batch(spark, b1, 1, wc, decontaminate_path=bench_path,
+                     decontaminate_mode="cut")
+    rows = {r.doc_id: r.text for r in
+            spark.read.parquet(f"{wc}/cleaned").collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1] == clean_text
+    assert frag not in rows[2]
+    assert rows[2] == " ".join(filler("Host", 30)) + "  " \
+        + " " * 19 + " " + " ".join(filler("Tail", 20))
+    # the survivor hash state indexes the DECONTAMINATED text
+    import hashlib
+    hashes = {r.doc_id: r.content_hash for r in
+              spark.read.parquet(f"{wc}/index/hashes").collect()}
+    assert hashes[2] == hashlib.md5(rows[2].encode()).hexdigest()
+
+    # replay: identical rewrite
+    _clean_one_batch(spark, b1, 1, wc, decontaminate_path=bench_path,
+                     decontaminate_mode="cut")
+    again = {r.doc_id: r.text for r in
+             spark.read.parquet(f"{wc}/cleaned").collect()}
+    assert again == rows
