@@ -341,3 +341,36 @@ def test_decontaminate_cut_excises_quoted_benchmark_passage(spark):
         + " and My  Tail x1"
     # clean doc: byte-identical, zero cut
     assert got[2].n_cut == 0 and got[2].text == doc2
+
+
+def test_substring_cut_bytes_boundary_spans(spark, tmp_path):
+    """Byte-splice boundary cases: the cut span at the very START of a
+    document (segment 0 is empty), at the very END (the trailing
+    segment is empty), and a WHOLE-document duplicate (both empty —
+    only the inter-token spaces survive)."""
+    import os
+
+    from engine.analytics import substring_cut_bytes
+
+    shared = [f"s{i}" for i in range(25)]
+    sj = " ".join(shared)
+    doc1 = "Keeper Context " + sj + " Keeper Tail"   # canonical holder
+    doc2 = sj + " After  The Run"                    # cut at START
+    doc3 = "Before  The Run " + sj                   # cut at END
+    doc4 = sj                                        # whole doc
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, doc1), (2, doc2), (3, doc3), (4, doc4)],
+        "doc_id long, text string").write.parquet(path)
+    os.rename(path, str(tmp_path / "documents.parquet"))
+
+    docs = spark.read.parquet(str(tmp_path / "documents.parquet"))
+    got = {r.doc_id: r for r in substring_cut_bytes(docs).collect()}
+
+    assert got[1].n_cut == 0 and got[1].text == doc1
+    assert got[2].n_cut == 25 and got[2].byte_exact
+    assert got[2].text == " " * 24 + " After  The Run"
+    assert got[3].n_cut == 25 and got[3].byte_exact
+    assert got[3].text == "Before  The Run " + " " * 24
+    assert got[4].n_cut == 25 and got[4].byte_exact
+    assert got[4].text == " " * 24                   # only the gaps
