@@ -253,7 +253,16 @@ def _spread(df):
     ~800k splits; the local test tables yield 1-2).  Skip the
     exchange when the scan already has >= defaultParallelism
     partitions; ``getNumPartitions()`` only builds the RDD plan, it
-    runs no job."""
+    runs no job.
+
+    Honest boundary: partition COUNT is the proxy, so a wide-but-
+    SKEWED scan (one file holding most rows) skips the rebalance and
+    the per-row kernels serialize on the straggler partition.  That
+    skew is an input-layout pathology the job entry owns (one
+    explicit repartition there fixes every operator at once — the
+    hoist VERDICT r6 item 2 offered as the alternative), and AQE's
+    skew handling covers the shuffle stages; a per-operator row-count
+    probe here would cost a job per call."""
     spark = df.sparkSession
     par = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= par:
@@ -1750,6 +1759,49 @@ def decontaminate_cut(docs, bench, n: int = None):
     return _byte_splice(all_docs.join(cuts, "doc_id", "left"))
 
 
+# shared DuckDB mirror of _byte_splice (sp2 span recovery + the
+# segment-splice SELECT) — used verbatim by BOTH byte-splicing
+# oracles (_DUCK_SUBSTR_CUT_BYTES and _DUCK_DECON_CUT) so a fix
+# to the splice arithmetic cannot drift them apart (self-review
+# r7); expects a ``spans`` CTE with (doc_id, t, text, lt, cs, lp)
+_DUCK_BYTE_SPLICE_TAIL = """), sp2 AS (
+  SELECT doc_id, t, text, cs, lp,
+         list_filter(range(1, greatest(length(lt), 1) + 1),
+           i -> substr(lt, i, 1) != ' ' AND
+                (i = 1 OR substr(lt, i - 1, 1) = ' ')) AS st,
+         list_filter(range(1, greatest(length(lt), 1) + 1),
+           i -> substr(lt, i, 1) != ' ' AND
+                (i = length(lt) OR substr(lt, i + 1, 1) = ' ')) AS en
+  FROM spans
+)
+SELECT doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(len(cs) AS BIGINT) AS n_cut,
+       CAST(lp OR len(cs) = 0 AS INT) AS byte_exact,
+       md5(CASE
+         WHEN len(cs) = 0 THEN text
+         WHEN lp THEN array_to_string(
+           list_transform(range(0, len(cs) + 1), k ->
+             substr(text,
+               CASE WHEN k = 0 THEN 1
+                    ELSE en[CAST(cs[k] AS INT) + 1] + 1 END,
+               greatest(
+                 (CASE WHEN k = len(cs) THEN length(text)
+                       ELSE st[CAST(cs[k + 1] AS INT) + 1] - 1 END)
+                 - (CASE WHEN k = 0 THEN 1
+                         ELSE en[CAST(cs[k] AS INT) + 1] + 1 END)
+                 + 1, 0))), '')
+         ELSE COALESCE(array_to_string(
+           list_filter(
+             list_transform(range(1, len(t) + 1),
+               i -> CASE WHEN list_contains(cs, i - 1)
+                         THEN NULL ELSE t[i] END),
+             x -> x IS NOT NULL), ' '), '')
+       END) AS text_md5
+FROM sp2
+"""
+
+
 _DUCK_DECON_CUT = f"""
 WITH base AS (SELECT doc_id, text FROM documents),
 inject AS (
@@ -1796,41 +1848,7 @@ inject AS (
          length(lower(t.text)) = length(t.text) AS lp
   FROM toks t
   LEFT JOIN cuts cu ON cu.doc_id = t.doc_id
-), sp2 AS (
-  SELECT doc_id, t, text, cs, lp,
-         list_filter(range(1, greatest(length(lt), 1) + 1),
-           i -> substr(lt, i, 1) != ' ' AND
-                (i = 1 OR substr(lt, i - 1, 1) = ' ')) AS st,
-         list_filter(range(1, greatest(length(lt), 1) + 1),
-           i -> substr(lt, i, 1) != ' ' AND
-                (i = length(lt) OR substr(lt, i + 1, 1) = ' ')) AS en
-  FROM spans
-)
-SELECT doc_id,
-       CAST(len(t) AS BIGINT) AS n_tokens,
-       CAST(len(cs) AS BIGINT) AS n_cut,
-       CAST(lp OR len(cs) = 0 AS INT) AS byte_exact,
-       md5(CASE
-         WHEN len(cs) = 0 THEN text
-         WHEN lp THEN array_to_string(
-           list_transform(range(0, len(cs) + 1), k ->
-             substr(text,
-               CASE WHEN k = 0 THEN 1
-                    ELSE en[CAST(cs[k] AS INT) + 1] + 1 END,
-               greatest(
-                 (CASE WHEN k = len(cs) THEN length(text)
-                       ELSE st[CAST(cs[k + 1] AS INT) + 1] - 1 END)
-                 - (CASE WHEN k = 0 THEN 1
-                         ELSE en[CAST(cs[k] AS INT) + 1] + 1 END)
-                 + 1, 0))), '')
-         ELSE COALESCE(array_to_string(
-           list_filter(
-             list_transform(range(1, len(t) + 1),
-               i -> CASE WHEN list_contains(cs, i - 1)
-                         THEN NULL ELSE t[i] END),
-             x -> x IS NOT NULL), ' '), '')
-       END) AS text_md5
-FROM sp2
+{_DUCK_BYTE_SPLICE_TAIL}
 """
 
 
@@ -2437,41 +2455,7 @@ _DUCK_SUBSTR_CUT_BYTES = _DUCK_SUBSTR_STARTS + f""", keep AS (
   FROM toks t
   JOIN documents d ON d.doc_id = t.doc_id
   LEFT JOIN cuts cu ON cu.doc_id = t.doc_id
-), sp2 AS (
-  SELECT doc_id, t, text, cs, lp,
-         list_filter(range(1, greatest(length(lt), 1) + 1),
-           i -> substr(lt, i, 1) != ' ' AND
-                (i = 1 OR substr(lt, i - 1, 1) = ' ')) AS st,
-         list_filter(range(1, greatest(length(lt), 1) + 1),
-           i -> substr(lt, i, 1) != ' ' AND
-                (i = length(lt) OR substr(lt, i + 1, 1) = ' ')) AS en
-  FROM spans
-)
-SELECT doc_id,
-       CAST(len(t) AS BIGINT) AS n_tokens,
-       CAST(len(cs) AS BIGINT) AS n_cut,
-       CAST(lp OR len(cs) = 0 AS INT) AS byte_exact,
-       md5(CASE
-         WHEN len(cs) = 0 THEN text
-         WHEN lp THEN array_to_string(
-           list_transform(range(0, len(cs) + 1), k ->
-             substr(text,
-               CASE WHEN k = 0 THEN 1
-                    ELSE en[CAST(cs[k] AS INT) + 1] + 1 END,
-               greatest(
-                 (CASE WHEN k = len(cs) THEN length(text)
-                       ELSE st[CAST(cs[k + 1] AS INT) + 1] - 1 END)
-                 - (CASE WHEN k = 0 THEN 1
-                         ELSE en[CAST(cs[k] AS INT) + 1] + 1 END)
-                 + 1, 0))), '')
-         ELSE COALESCE(array_to_string(
-           list_filter(
-             list_transform(range(1, len(t) + 1),
-               i -> CASE WHEN list_contains(cs, i - 1)
-                         THEN NULL ELSE t[i] END),
-             x -> x IS NOT NULL), ' '), '')
-       END) AS text_md5
-FROM sp2
+{_DUCK_BYTE_SPLICE_TAIL}
 """
 
 

@@ -109,6 +109,26 @@ def model_quality_gate(docs: DataFrame, model: str,
     groupBy + a BROADCAST of its fixed 4096-bucket model (the cheaper
     of the two at 100 TB).  The keep set joins back LEFT SEMI on
     doc_id, so gated columns pass through untouched."""
+    if lm_corpus is not None:
+        if model == "dsir":
+            # silently ignoring the reference would invite the false
+            # belief that DSIR trained on it (self-review r7) — the
+            # dsir gate has no reference mode; fail loudly
+            raise ValueError(
+                "lm_corpus applies to the lm/lm2 gates only; the dsir "
+                "gate is self-trained by construction")
+        # an EMPTY (or token-less) reference would make every score
+        # NULL and the gate silently drop the whole corpus — the same
+        # loud-guard rule as the streaming semantic gate's
+        # sem_embeddings_path (self-review r7).  limit(1) keeps the
+        # check O(1).
+        probe = (lm_corpus.select(F.expr(_SPARK_TOKS).alias("t"))
+                 .filter(F.expr("size(t) >= 1")).limit(1).count())
+        if probe == 0:
+            raise ValueError(
+                "lm_corpus yields no tokens — the reference-trained "
+                "gate would score every document NULL and drop the "
+                "entire corpus")
     if model == "lm":
         keeps = lm_scores(docs, lm_corpus=lm_corpus) \
             .filter(F.col("keep") == 1)
@@ -347,7 +367,9 @@ def cleaning_stages(docs: DataFrame, neardup_policy: str = "pairwise",
                 gated.select("doc_id", "text"), decontaminate)
             gated = (gated.select(*keep_cols)
                      .join(rewritten.select(
-                         "doc_id", "text", F.col("n_cut")
+                         "doc_id", "text",
+                         F.col("byte_exact").alias("decon_byte_exact"),
+                         F.col("n_cut")
                          .alias("n_decontaminated_tokens")), "doc_id"))
         elif decontaminate_mode == "drop":
             # benchmark decontamination as a gate (a drop is a drop):
@@ -360,6 +382,13 @@ def cleaning_stages(docs: DataFrame, neardup_policy: str = "pairwise",
             raise ValueError(
                 f"unknown decontaminate mode: {decontaminate_mode!r}")
     if model_gate:
+        # the decon-cut token metric must count cuts on docs the model
+        # gate later DROPS too (self-review r7: summing the post-gate
+        # boundary undercounts), so the pre-model-gate frame becomes
+        # its own persisted boundary when both stages are active
+        decon_frame = None
+        if (decontaminate is not None and decontaminate_mode == "cut"):
+            decon_frame = gated.persist()
         gated = model_quality_gate(gated, model_gate,
                                    lm_corpus=lm_corpus)
     gated = gated.persist()
@@ -367,6 +396,9 @@ def cleaning_stages(docs: DataFrame, neardup_policy: str = "pairwise",
     survivors = neardup_removal(exact, policy=neardup_policy,
                                 sketch=sketch).persist()
     stages = {"gated": gated, "exact": exact, "survivors": survivors}
+    if model_gate and decontaminate is not None \
+            and decontaminate_mode == "cut":
+        stages["_decon"] = decon_frame
     final = survivors
     if semantic_dedup is not None:
         # fourth gate: token-level near-dup first (cheap sketches
@@ -461,9 +493,13 @@ def run_cleaning_job(spark: SparkSession, input_path: str,
         "after_quality_language": stages["gated"].count(),
     }
     if decontaminate_path is not None and decontaminate_mode == "cut":
-        # cache-read agg over the persisted gated boundary
+        # counts cuts on EVERY decontaminated doc, including ones a
+        # later model gate drops: with a model gate active the
+        # pre-gate frame is its own persisted boundary (_decon);
+        # without one the gated boundary IS that frame
+        decon_src = stages.get("_decon", stages["gated"])
         metrics["decontaminated_tokens_cut"] = int(
-            stages["gated"].agg(F.coalesce(
+            decon_src.agg(F.coalesce(
                 F.sum("n_decontaminated_tokens"), F.lit(0))).first()[0])
     metrics.update({
         "after_exact_dedup": stages["exact"].count(),
@@ -479,7 +515,8 @@ def run_cleaning_job(spark: SparkSession, input_path: str,
     if substring_cut:
         metrics["substring_tokens_cut"] = int(
             out_metrics["substring_tokens_cut"])
-    for name in ("gated", "exact", "survivors", "semantic", "substring"):
+    for name in ("gated", "exact", "survivors", "semantic", "substring",
+                 "_decon"):
         if name in stages:
             stages[name].unpersist()
     for df in stages.get("_substring_caches", []):

@@ -324,7 +324,16 @@ def stream_clean(spark: SparkSession, input_path: str, work_dir: str,
           members; the arriving removed members drop here, removals
           of already-shipped members stay in the {idx}/sem/pairs
           decision log for compact_semdedup_stream — metrics gain
-          after_semantic_dedup]
+          after_semantic_dedup.  Honest boundary: the embedding
+          lookup is a STATIC parquet keyed by doc_id, so an arriving
+          doc absent from it bypasses the gate (the batch gate's
+          missing-embedding rule) — including a byte-identical copy
+          of a previously REMOVED doc under a fresh id (its keeper's
+          hash/bands don't match it, and the removed doc's never
+          entered the survivor state).  A production stream computes
+          embeddings from CONTENT (e.g. doc_hashed_embeddings with a
+          frozen idf), making copies carry their original's vector;
+          with a static lookup, keep it current or accept the gap]
         → [ExactSubstr cut (``substring_cut=True``): duplicated
           >=20-token window occurrences of the SURVIVORS are cut
           position-wise against the persisted window index of shipped
@@ -528,7 +537,8 @@ def _clean_one_batch(spark: SparkSession, batch_df, batch_id,
             from engine.analytics import decontaminate_cut
             gated = (decontaminate_cut(
                 gated.select("doc_id", "text"), bench)
-                .select("doc_id", "text"))
+                .select("doc_id", "text",
+                        F.col("byte_exact").alias("decon_byte_exact")))
         elif decontaminate_mode == "drop":
             from engine.analytics import decontaminate_gate
             gated = decontaminate_gate(gated, bench)
@@ -622,6 +632,23 @@ def _clean_one_batch(spark: SparkSession, batch_df, batch_id,
         survivors = survivors.join(removed, "doc_id", "left_anti") \
             .persist()
         n_sem = survivors.count()
+        # FUNNEL discipline on the sem members state (self-review r7):
+        # stream_semdedup's own contract writes EVERY arriving vector
+        # to members/batch=N (its lossless-decomposition semantics),
+        # but in the funnel an arrival removed by this very batch's
+        # decisions never SHIPS — leaving it in the members tail would
+        # let a later arrival be removed for pairing with a GHOST that
+        # compaction then deletes too, losing every representative of
+        # that cluster.  Rewrite the batch's members partition to the
+        # shipped survivors only (localCheckpoint materializes the
+        # filtered rows before the same-path overwrite; deterministic,
+        # so replays still rewrite identically).
+        mem_path = f"{idx}/sem/members/batch={batch_id}"
+        mem = (spark.read.parquet(mem_path)
+               .join(removed.select(F.col("doc_id").alias("vec_id")),
+                     "vec_id", "left_anti")
+               .localCheckpoint())
+        mem.write.mode("overwrite").parquet(mem_path)
 
     cut_caches: list = []
     tokens_cut = None
@@ -643,8 +670,15 @@ def _clean_one_batch(spark: SparkSession, batch_df, batch_id,
         keep = ["doc_id", "text"] + (
             ["byte_exact"] if "byte_exact" in rebuilt.columns else [])
         cleaned_src = rebuilt.select(*keep)
+        if "decon_byte_exact" in survivors.columns:
+            cleaned_src = cleaned_src.join(
+                survivors.select("doc_id", "decon_byte_exact"),
+                "doc_id")
     else:
-        cleaned_src = survivors.select("doc_id", "text")
+        keep = ["doc_id", "text"] + (
+            ["decon_byte_exact"]
+            if "decon_byte_exact" in survivors.columns else [])
+        cleaned_src = survivors.select(*keep)
 
     cleaned = pii_scrub_text(cleaned_src)
     cleaned.write.mode("overwrite") \

@@ -496,3 +496,59 @@ def test_cleaning_job_decontaminate_cut_mode(spark, tmp_path):
     # nothing else touched: every other survivor reports 0
     assert all(r.n_decontaminated_tokens == 0
                for d, r in rows.items() if d != 901)
+
+
+def test_cleaning_job_decon_cut_metric_counts_model_gate_drops(
+        spark, tmp_path):
+    """Self-review r7: decontaminated_tokens_cut must count cuts on
+    docs a LATER model gate drops — the metric reads the pre-gate
+    boundary, not the post-gate one."""
+    import pytest
+
+    frag = " ".join(f"benchq{i}" for i in range(20))
+    bench_path = str(tmp_path / "bench")
+    spark.createDataFrame(
+        [(0, f"the evaluation question reads {frag} and the answer "
+             "must be given in full sentences by the candidate")],
+        "doc_id long, text string").write.parquet(bench_path)
+
+    def filler(prefix, n):
+        out = []
+        for i in range(n):
+            out.append(f"{prefix}{i}")
+            if i % 5 == 4:
+                out.append("the")
+        return out
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plant_text = " ".join(filler("Quoter", 30)) + " " + frag + " " \
+        + " ".join(filler("After", 20))
+    inp = str(tmp_path / "docs_con")
+    docs.unionByName(spark.createDataFrame(
+        [(901, plant_text, "en", "synthetic", 1)],
+        docs.schema)).write.parquet(inp)
+
+    m = run_cleaning_job(spark, inp, str(tmp_path / "out"),
+                         decontaminate_path=bench_path,
+                         decontaminate_mode="cut",
+                         model_gate="lm")
+    # the plant's unique Quoter/After vocabulary scores terribly
+    # against the corpus LM — whether or not the gate drops it, the
+    # cut count must include its 20 excised tokens
+    assert m["decontaminated_tokens_cut"] == 20
+
+    # guard rails added with the review: an empty reference corpus
+    # fails loudly instead of silently dropping everything...
+    empty_ref = str(tmp_path / "empty_ref")
+    spark.createDataFrame([], "doc_id long, text string") \
+        .write.parquet(empty_ref)
+    with pytest.raises(Exception, match="no tokens"):
+        run_cleaning_job(spark, inp, str(tmp_path / "out2"),
+                         model_gate="lm", lm_corpus_path=empty_ref)
+    # ...and lm_corpus with the dsir gate (which has no reference
+    # mode) is rejected instead of silently ignored
+    ref = str(tmp_path / "ref")
+    docs.select("doc_id", "text").limit(5).write.parquet(ref)
+    with pytest.raises(Exception, match="dsir"):
+        run_cleaning_job(spark, inp, str(tmp_path / "out3"),
+                         model_gate="dsir", lm_corpus_path=ref)

@@ -269,6 +269,15 @@ def test_stream_clean_semantic_gate(spark, tmp_path):
                spark.read.parquet(f"{work}/index/hashes").collect()}
     assert idx_ids == {10001, 10012, 10013, 10014}
 
+    # the sem MEMBERS state holds shipped survivors only (self-review
+    # r7): the funnel-removed arrival 10011 must not linger as a ghost
+    # a later arrival could be removed for pairing with
+    mem_ids = {r.vec_id for r in
+               spark.read.parquet(f"{work}/index/sem/members")
+               .select("vec_id").collect()}
+    assert 10011 not in mem_ids
+    assert {10001, 10012, 10014} <= mem_ids
+
     # crash-window replay: re-invoke the last batch id with the index
     # partitions already written — outputs byte-identical
     last = max(metrics)
