@@ -2087,7 +2087,22 @@ def _substring_dup_starts(docs, min_len: int,
     128-bit content-hash equality exact_dedup's contract rests on —
     so the count and every downstream group travel as 16-byte binary
     keys, never the window string itself (the r2 strings-in-shuffle
-    lesson)."""
+    lesson).
+
+    Single-evaluation discipline (r8, guide §2.4): both dup tests are
+    WINDOW counts (count(*) over partitionBy(key) >= 2), not
+    groupBy→semi-join-back pairs.  The r7 shape evaluated the
+    scan→tokenize→doubling→explode subtree once under the count agg
+    and AGAIN under the join probe (plans/r08/*_before.txt shows the
+    whole subtree 4-6×, zero ReusedExchange — only the repartition
+    exchange below the projection is shareable), and at scale the
+    semi-join is a SECOND full shuffle+sort of the key stream on top
+    of the count shuffle.  The window form pays ONE exchange + sort
+    per tier and evaluates the expensive projections exactly once.
+    ``starts`` carries ``k`` — the per-wkey min (doc_id, pos) keeper
+    struct, computed in the SAME WindowExec as the count (zero extra
+    exchange; callers that don't reference it get it pruned), which
+    lets _substring_cut_sets drop its keep/s2 join-back entirely."""
     toks = (_spread(docs)
             .select("doc_id", F.expr(_SPARK_TOKS).alias("t"))
             .filter(F.expr(f"size(t) >= {min_len}")))
@@ -2104,17 +2119,20 @@ def _substring_dup_starts(docs, min_len: int,
         F.posexplode(F.expr(_substring_window_keys(min_len)))
         .alias("pos", "wk")).select(
             "doc_id", F.col("pos").cast("long").alias("pos"), "wk")
-    dup_keys = (keys.groupBy("wk").agg(F.count("*").alias("n"))
-                .filter(F.col("n") >= 2).select("wk"))
-    cand = keys.join(dup_keys, "wk", "left_semi")
+    w_wk = Window.partitionBy("wk")
+    cand = (keys.withColumn("n", F.count("*").over(w_wk))
+            .filter(F.col("n") >= 2).select("doc_id", "pos"))
     cand_txt = (cand.join(toks, "doc_id")
                 .select("doc_id", "pos",
                         F.expr(f"unhex(md5(cast(array_join(slice(t, "
                                f"cast(pos as int) + 1, {min_len}), ' ') "
                                f"as binary)))").alias("wkey")))
-    true_w = (cand_txt.groupBy("wkey").agg(F.count("*").alias("n"))
-              .filter(F.col("n") >= 2).select("wkey"))
-    starts = cand_txt.join(true_w, "wkey", "left_semi")
+    w_wkey = Window.partitionBy("wkey")
+    starts = (cand_txt
+              .withColumn("n", F.count("*").over(w_wkey))
+              .withColumn("k", F.min(F.struct("doc_id", "pos")).over(w_wkey))
+              .filter(F.col("n") >= 2)
+              .select("doc_id", "pos", "wkey", "k"))
     return toks, starts
 
 
@@ -2238,14 +2256,17 @@ def _substring_cut_sets(docs, min_len: int,
     per position replaces the distinct/distinct/anti-join formulation
     (3 shuffles -> 1; measured 3.1 -> ~1 s at sf0.1); the position
     explosion is confined to DUPLICATED regions, and the per-doc
-    collect_set is bounded by the doc's own length."""
+    collect_set is bounded by the doc's own length.
+
+    r8: the per-wkey keeper struct ``k`` now arrives ON the starts
+    rows (computed in _substring_dup_starts' wkey WindowExec), so the
+    old keep-aggregate + join-back — which re-evaluated the whole
+    starts subtree a second time (plans/r08) — is a row-local
+    comparison."""
     _toks, starts = _substring_dup_starts(docs, min_len, cache_registry)
-    keep = starts.groupBy("wkey").agg(
-        F.min(F.struct("doc_id", "pos")).alias("k"))
-    s2 = (starts.join(keep, "wkey")
-          .select("doc_id", "pos",
-                  ((F.col("k.doc_id") == F.col("doc_id"))
-                   & (F.col("k.pos") == F.col("pos"))).alias("is_keep")))
+    s2 = starts.select("doc_id", "pos",
+                       ((F.col("k.doc_id") == F.col("doc_id"))
+                        & (F.col("k.pos") == F.col("pos"))).alias("is_keep"))
     cover = s2.select(
         "doc_id", "is_keep",
         F.explode(F.expr(
@@ -2378,7 +2399,15 @@ def _byte_splice(joined):
     that docstring for the span-recovery and fallback semantics.
     ``lt`` is bound as a real column so the two span filters read an
     attribute instead of re-running lower() per lambda call;
-    CollapseProject keeps multi-referenced non-cheap aliases put."""
+    CollapseProject keeps multi-referenced non-cheap aliases put.
+
+    r8 (guide §1.2 "don't compute things you throw away"): the two
+    O(len) per-character span filters are gated on ``size(cs) > 0`` —
+    an UNTOUCHED document (at realistic dup rates ~99% of the corpus)
+    is emitted verbatim and never indexes a span, so it must not pay
+    the character scan at all.  IF() evaluates its branches lazily, so
+    untouched rows now cost two length() calls; measured the dominant
+    cost of the splice stage at sf0.1."""
     base = (joined
             .withColumn("c", F.coalesce(
                 "c", F.expr("array()").cast("array<bigint>")))
@@ -2386,12 +2415,14 @@ def _byte_splice(joined):
             .withColumn("lt", F.lower(F.col("text"))))
     spans = base.select(
         "doc_id", "text", "t", "cs",
-        F.expr("filter(sequence(1, greatest(length(lt), 1)), i -> "
+        F.expr("IF(size(cs) = 0, array(), "
+               "filter(sequence(1, greatest(length(lt), 1)), i -> "
                "substr(lt, i, 1) != ' ' AND (i = 1 OR "
-               "substr(lt, i - 1, 1) = ' '))").alias("st"),
-        F.expr("filter(sequence(1, greatest(length(lt), 1)), i -> "
+               "substr(lt, i - 1, 1) = ' ')))").alias("st"),
+        F.expr("IF(size(cs) = 0, array(), "
+               "filter(sequence(1, greatest(length(lt), 1)), i -> "
                "substr(lt, i, 1) != ' ' AND (i = length(lt) OR "
-               "substr(lt, i + 1, 1) = ' '))").alias("en"),
+               "substr(lt, i + 1, 1) = ' ')))").alias("en"),
         F.expr("length(lt) = length(text)").alias("lp"))
     # segment k of m+1: from after cut k-1's span to before cut k's
     # (1-based char positions; substr with a clamped-to-0 length
