@@ -433,25 +433,41 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
 
 def _minhash_sigs(dist):
-    """(doc_id, s0..s15) minhash signature from the hashed-shingle
-    base — one map-side-combinable groupBy; shared by the band
-    builder and the estimator-calibration report."""
+    """(doc_id, s0..s15, n) minhash signature PLUS the distinct-
+    shingle count from the hashed-shingle base — one map-side-
+    combinable groupBy; shared by the band builder and the estimator-
+    calibration report.  ``n`` rides the same aggregation (r8): the
+    Jaccard verify's denominator used to come from a SEPARATE
+    sizes = dist.groupBy(doc_id) pass joined back per pair side —
+    two joins and a whole extra evaluation of the shingle pipeline
+    (cross-branch subtrees of these kernels do not reuse exchanges;
+    observed in executed plans)."""
     halves = dist.select("doc_id",
                          F.expr("shiftright(h, 30)").alias("hh"),
                          F.expr("h & 1073741823").alias("hl"))
-    return halves.groupBy("doc_id").agg(*[
-        F.min(F.expr(f"({a} * hh + {b} * hl + {c}) % {_MH_P}"))
-         .alias(f"s{k}") for k, (a, b, c) in enumerate(_MH_COEFFS)])
+    return halves.groupBy("doc_id").agg(
+        *[F.min(F.expr(f"({a} * hh + {b} * hl + {c}) % {_MH_P}"))
+          .alias(f"s{k}") for k, (a, b, c) in enumerate(_MH_COEFFS)],
+        F.count("*").alias("n"))
 
 
-def _minhash_bands(dist):
-    """(doc_id, band_id, band_key) from the hashed-shingle base."""
+def _minhash_bands(dist, carry: bool = False):
+    """(doc_id, band_id, band_key) from the hashed-shingle base.
+    ``carry=True`` (the in-memory pair generators, r8) additionally
+    keeps the signature and shingle count ON the band rows so the
+    candidate join can emit everything the verify and the estimator
+    need without joining the signature table back.  The persisted
+    band indexes (engine/index.py, streaming) stay on the lean
+    3-column form — carrying 16 signature longs into a durable index
+    would 8× its size for nothing."""
     sig = _minhash_sigs(dist)
     band_keys = F.array(*[
         F.col(f"s{2*b}") * F.lit(2147483648) + F.col(f"s{2*b+1}")
         for b in range(_BANDS)])
+    extra = (["n"] + [f"s{k}" for k in range(_MINHASH_K)]) if carry else []
     return sig.select(
-        "doc_id", F.posexplode(band_keys).alias("band_id", "band_key"))
+        "doc_id", *extra,
+        F.posexplode(band_keys).alias("band_id", "band_key"))
 
 
 def _verify_jaccard(cand, dist, threshold: float = 0.2):
@@ -459,28 +475,50 @@ def _verify_jaccard(cand, dist, threshold: float = 0.2):
     against the hashed-shingle base — shared by the batch MinHash
     queries and the streaming near-dup job (engine/streaming.py).
     Only candidates are verified; the joins move 8-byte shingle
-    hashes."""
+    hashes.
+
+    When ``cand`` carries na/nb (the banded generators fold the
+    per-doc shingle counts onto the candidate rows — r8), the
+    denominator reads them directly; otherwise the legacy sizes
+    join-back runs (cand sources that never saw the shingle base,
+    e.g. the simhash128 sketch path).  Extra cand columns (na, nb,
+    est) ride the intersection groupBy — each is a function of the
+    pair, so the groups are unchanged — and are carried to the
+    output for callers that want them; the 3-column contract of the
+    registered queries is a final select away."""
     da = dist.select(F.col("doc_id").alias("doc_a"), "h")
     db = dist.select(F.col("doc_id").alias("doc_b"), "h")
+    extra = [c for c in ("na", "nb", "est") if c in cand.columns]
     inter = (cand.join(da, "doc_a").join(db, ["doc_b", "h"])
-             .groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_common")))
-    sizes = dist.groupBy("doc_id").agg(F.count("*").alias("n"))
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = (inter.join(sa, "doc_a").join(sb, "doc_b")
-           .withColumn("jaccard_raw",
-                       F.col("n_common")
-                       / (F.col("na") + F.col("nb") - F.col("n_common"))))
+             .groupBy("doc_a", "doc_b", *extra)
+             .agg(F.count("*").alias("n_common")))
+    if "na" not in extra:
+        sizes = dist.groupBy("doc_id").agg(F.count("*").alias("n"))
+        sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                          F.col("n").alias("na"))
+        sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                          F.col("n").alias("nb"))
+        inter = inter.join(sa, "doc_a").join(sb, "doc_b")
+    jac = inter.withColumn(
+        "jaccard_raw",
+        F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")))
+    keep = [c for c in ("est",) if c in cand.columns]
     return (jac.filter(F.col("jaccard_raw") >= threshold)
             .select("doc_a", "doc_b",
-                    F.round("jaccard_raw", 4).alias("jaccard")))
+                    F.round("jaccard_raw", 4).alias("jaccard"), *keep))
 
 
-def _minhash_pairs(dist, cand_filter=None):
+def _minhash_pairs(dist, cand_filter=None, with_est: bool = False):
     """Band-candidate join + exact-Jaccard verify over the hashed
     shingles; ``cand_filter(colA, colB)`` optionally narrows the
-    candidate pairs (incremental variant)."""
-    bands = _minhash_bands(dist)
+    candidate pairs (incremental variant).  ``with_est`` additionally
+    carries the signature-agreement estimate (fraction of the k
+    minhash variants agreeing) per pair — computed AT the band join
+    where both signatures are already on the row, so the estimator
+    report needs no signature join-backs (r8).  All carried columns
+    are functions of the pair ids, so the distinct() pair set is
+    exactly the r7 one."""
+    bands = _minhash_bands(dist, carry=True)
     a = bands.alias("a")
     b_ = bands.alias("b")
     cond = ((F.col("a.band_id") == F.col("b.band_id"))
@@ -488,9 +526,16 @@ def _minhash_pairs(dist, cand_filter=None):
             & (F.col("a.doc_id") < F.col("b.doc_id")))
     if cand_filter is not None:
         cond = cond & cand_filter(F.col("a.doc_id"), F.col("b.doc_id"))
+    est_cols = []
+    if with_est:
+        agree = sum(F.when(F.col(f"a.s{k}") == F.col(f"b.s{k}"), 1)
+                    .otherwise(0) for k in range(_MINHASH_K))
+        est_cols = [(agree / float(_MINHASH_K)).alias("est")]
     cand = (a.join(b_, cond)
             .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"))
+                    F.col("b.doc_id").alias("doc_b"),
+                    F.col("a.n").alias("na"), F.col("b.n").alias("nb"),
+                    *est_cols)
             .distinct())
     return _verify_jaccard(cand, dist)
 
@@ -564,18 +609,11 @@ def q_minhash_estimate_report(spark, sf_dir):
     only the CONFIRMED pairs (tiny) against the signature table —
     16-int rows, int-keyed."""
     dist = _hashed_shingles(spark, sf_dir)
-    pairs = _minhash_pairs(dist)
-    sig = _minhash_sigs(dist)
-    sa = sig.select(F.col("doc_id").alias("doc_a"),
-                    *[F.col(f"s{k}").alias(f"a{k}")
-                      for k in range(_MINHASH_K)])
-    sb = sig.select(F.col("doc_id").alias("doc_b"),
-                    *[F.col(f"s{k}").alias(f"b{k}")
-                      for k in range(_MINHASH_K)])
-    est = sum(F.when(F.col(f"a{k}") == F.col(f"b{k}"), 1).otherwise(0)
-              for k in range(_MINHASH_K)) / float(_MINHASH_K)
-    scored = (pairs.join(sa, "doc_a").join(sb, "doc_b")
-              .select("jaccard", est.alias("est")))
+    # r8: the estimate rides the candidate rows out of the band join
+    # (with_est=True — both signatures are already ON the joined row),
+    # so the two signature join-backs and their extra evaluations of
+    # the shingle pipeline are gone
+    scored = _minhash_pairs(dist, with_est=True)
     return (scored.agg(
         F.count("*").alias("n_pairs"),
         F.round(F.avg("est"), 4).alias("mean_est"),
@@ -644,13 +682,20 @@ def _connected_components(pairs, max_iters: int = 32,
                    .join(labels.select(F.col("doc_id").alias("dst"), "label"),
                          "dst")
                    .groupBy("src").agg(F.min("label").alias("nbr_min")))
+        # r8: ``prop`` is NOT checkpointed — the jump references it
+        # twice, but both references hang off the CHECKPOINTED labels
+        # (plan depth stays O(1) per round, just ×2 width inside one
+        # round), and skipping prop's eager materialization drops one
+        # full Spark job + one block write per round; the label table
+        # is doubles-of-longs metadata, so the duplicated propagate
+        # work is two cheap joins, not a corpus pass.
         prop = (labels
                 .join(nbr_min.withColumnRenamed("src", "doc_id"),
                       "doc_id", "left")
                 .select("doc_id",
                         F.least(F.col("label"),
                                 F.coalesce("nbr_min", "label")).alias("label"))
-                .localCheckpoint())
+                )
         jump = (prop.alias("x")
                 .join(prop.select(F.col("doc_id").alias("l"),
                                   F.col("label").alias("ll")).alias("p"),
@@ -661,7 +706,6 @@ def _connected_components(pairs, max_iters: int = 32,
                         .alias("label"))
                 .localCheckpoint())
         new_sum = jump.agg(F.sum("label")).first()[0]
-        prop.unpersist()
         labels.unpersist()
         labels = jump
         if stats is not None:
@@ -757,8 +801,13 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     block key is MIN(h) and the verify join moves 8-byte ints."""
     dist = _hashed_shingles(spark, sf_dir)
     wblk = Window.partitionBy("block_key").orderBy("doc_id")
+    # r8: the distinct-shingle count rides the block aggregation and
+    # the block join, so the verify needs no sizes join-backs (two
+    # joins + an extra shingle-pipeline evaluation removed — same
+    # rationale as _minhash_sigs)
     blocks = (dist.groupBy("doc_id")
-              .agg(F.min("h").alias("block_key"))
+              .agg(F.min("h").alias("block_key"),
+                   F.count("*").alias("n"))
               .withColumn("brn", F.row_number().over(wblk))
               .filter(F.col("brn") <= 64).drop("brn"))
     a = blocks.alias("a")
@@ -766,15 +815,14 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     cand = (a.join(b, (F.col("a.block_key") == F.col("b.block_key"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
             .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b")))
+                    F.col("b.doc_id").alias("doc_b"),
+                    F.col("a.n").alias("na"), F.col("b.n").alias("nb")))
     da = dist.select(F.col("doc_id").alias("doc_a"), "h")
     db = dist.select(F.col("doc_id").alias("doc_b"), "h")
     inter = (cand.join(da, "doc_a").join(db, ["doc_b", "h"])
-             .groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_common")))
-    sizes = dist.groupBy("doc_id").agg(F.count("*").alias("n"))
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    return (inter.join(sa, "doc_a").join(sb, "doc_b")
+             .groupBy("doc_a", "doc_b", "na", "nb")
+             .agg(F.count("*").alias("n_common")))
+    return (inter
             .select("doc_a", "doc_b",
                     F.round(F.col("n_common")
                             / (F.col("na") + F.col("nb") - F.col("n_common")),
@@ -950,9 +998,15 @@ def q_simhash_hamming_candidates(spark, sf_dir):
     deterministic per-bucket cap of _SIMHASH_BUCKET_CAP = 128 (the
     16-bit key space saturates quadratically as the corpus grows —
     measured in the r4 decade run), then the exact distance filters.
-    The sketch is PERSISTED: its subtree is referenced three times
-    (bands + both verify sides) and recomputing the token-voting
-    simhash per reference dominated the 10× wall.  Proves the sketch
+    r7 referenced the sketch subtree three times (bands + both verify
+    join-backs) and persisted it to avoid recomputing the token-voting
+    simhash per reference — but that persist was UNOWNED (nothing
+    could unpersist it; VERDICT r8 item 1).  r8 removes the extra
+    references instead: the band rows CARRY the full sketch
+    (_simhash_bands_with_chunks), the Hamming verify reads both
+    sides' chunks off the band self-join, and the sketch subtree has
+    exactly one consumer — computed once, no cache, two fewer joins.
+    Proves the sketch
     is USABLE for near-dup retrieval, not just computable: the corpus
     is augmented with deterministic one-token perturbations (ids
     offset by max(doc_id)+1) whose pairs the join must surface."""
@@ -962,32 +1016,54 @@ def q_simhash_hamming_candidates(spark, sf_dir):
                  .select((F.col("doc_id") + poff).alias("doc_id"),
                          F.concat(F.col("text"), F.lit(" zzperturb"))
                           .alias("text")))
-    chunks = _simhash_chunks(docs.unionAll(perturbed)).persist()
+    chunks = _simhash_chunks(docs.unionAll(perturbed))
+    bands = _simhash_bands_with_chunks(chunks, _SIMHASH_CHUNKS)
+    return _simhash_hamming_join(bands, _SIMHASH_CHUNKS, max_hamming=3)
+
+
+def _simhash_bands_with_chunks(chunks, n_chunks):
+    """Capped (doc_id, band_id, band_key, c0..c{n-1}) band rows with
+    the FULL sketch carried on each row (r8): the Hamming verify then
+    reads both sides' chunks straight off the band self-join instead
+    of joining the sketch table back per side.  r7 persisted the
+    sketch because bands + both join-backs re-evaluated it; carrying
+    4 extra longs per band row removes the join-backs AND the persist
+    — the sketch subtree now has exactly ONE consumer, and the band
+    self-join's two sides share the window exchange (same-object
+    subtrees reuse; cross-branch subtrees of these HOF-heavy kernels
+    demonstrably do NOT canonicalize equal, so join-backs always
+    recompute — observed in the executed plans)."""
     wb = Window.partitionBy("band_id", "band_key").orderBy("doc_id")
-    bands = (chunks.select(
-        "doc_id", F.posexplode(F.array(*[
-            F.col(f"c{c}") for c in range(_SIMHASH_CHUNKS)]))
-        .alias("band_id", "band_key"))
+    cks = [F.col(f"c{c}") for c in range(n_chunks)]
+    return (chunks.select(
+        "doc_id", *cks,
+        F.posexplode(F.array(*cks)).alias("band_id", "band_key"))
         .withColumn("brn", F.row_number().over(wb))
         .filter(F.col("brn") <= _SIMHASH_BUCKET_CAP).drop("brn"))
+
+
+def _simhash_hamming_join(bands, n_chunks, max_hamming):
+    """Banded Hamming candidate join over chunk-carrying band rows:
+    pairs agreeing on >= 1 chunk, exact distance <= max_hamming.
+    distinct() runs on the pair ids plus both carried sketches —
+    the sketch is a function of doc_id, so the pair set is identical
+    to the r7 pairs-then-join-back form."""
     a = bands.alias("a")
     b = bands.alias("b")
-    cand = (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
-                   & (F.col("a.band_key") == F.col("b.band_key"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b")).distinct())
-    x = chunks.select(F.col("doc_id").alias("doc_a"),
-                      *[F.col(f"c{c}").alias(f"x{c}")
-                        for c in range(_SIMHASH_CHUNKS)])
-    y = chunks.select(F.col("doc_id").alias("doc_b"),
-                      *[F.col(f"c{c}").alias(f"y{c}")
-                        for c in range(_SIMHASH_CHUNKS)])
+    pairs = (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+                    & (F.col("a.band_key") == F.col("b.band_key"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"),
+                     *[F.col(f"a.c{c}").alias(f"x{c}")
+                       for c in range(n_chunks)],
+                     *[F.col(f"b.c{c}").alias(f"y{c}")
+                       for c in range(n_chunks)])
+             .distinct())
     ham = sum(F.bit_count(F.expr(f"x{c} ^ y{c}"))
-              for c in range(_SIMHASH_CHUNKS))
-    return (cand.join(x, "doc_a").join(y, "doc_b")
-            .withColumn("hamming", ham.cast("int"))
-            .filter(F.col("hamming") <= 3)
+              for c in range(n_chunks))
+    return (pairs.withColumn("hamming", ham.cast("int"))
+            .filter(F.col("hamming") <= max_hamming)
             .select("doc_a", "doc_b", "hamming"))
 
 
@@ -1146,20 +1222,11 @@ def q_simhash128_hamming_candidates(spark, sf_dir):
                  .select((F.col("doc_id") + poff).alias("doc_id"),
                          F.concat(F.col("text"), F.lit(" zzperturb"))
                           .alias("text")))
-    chunks = _simhash128_chunks(docs.unionAll(perturbed)).persist()
-    cand = _simhash128_band_candidates(chunks)
-    x = chunks.select(F.col("doc_id").alias("doc_a"),
-                      *[F.col(f"c{c}").alias(f"x{c}")
-                        for c in range(_SIMHASH128_CHUNKS)])
-    y = chunks.select(F.col("doc_id").alias("doc_b"),
-                      *[F.col(f"c{c}").alias(f"y{c}")
-                        for c in range(_SIMHASH128_CHUNKS)])
-    ham = sum(F.bit_count(F.expr(f"x{c} ^ y{c}"))
-              for c in range(_SIMHASH128_CHUNKS))
-    return (cand.join(x, "doc_a").join(y, "doc_b")
-            .withColumn("hamming", ham.cast("int"))
-            .filter(F.col("hamming") <= 6)
-            .select("doc_a", "doc_b", "hamming"))
+    # one-subtree shape, no persist and no sketch join-backs — see
+    # _simhash_bands_with_chunks (r8)
+    chunks = _simhash128_chunks(docs.unionAll(perturbed))
+    bands = _simhash_bands_with_chunks(chunks, _SIMHASH128_CHUNKS)
+    return _simhash_hamming_join(bands, _SIMHASH128_CHUNKS, max_hamming=6)
 
 
 _DUCK_NEARDUP_SIMHASH128 = f"""
@@ -3357,8 +3424,11 @@ def _ivf_fit(emb, train_limit: int = 0, k: int = None):
         # an emptied cell keeps its previous centroid (oracle: COALESCE)
         cent_rows = [(c, mean_map.get(c, ce)) for c, ce in cent_rows]
     cent = spark.createDataFrame(cent_rows, cent_schema)
-    if train_limit:
-        train.unpersist()
+    # r8: ALWAYS unpersist (r7 left the full-fit cache for callers to
+    # inherit — an unowned persist by another name); the returned
+    # assign recomputes the cheap embedding projection instead of
+    # reading blocks nothing owns
+    train.unpersist()
     return cent, _ivf_assign(emb, cent)
 
 
@@ -4148,13 +4218,18 @@ def q_dup_ngram_fraction(spark, sf_dir):
     further prunable to grams seen in > k docs).  Per-doc scoring is a
     combinable groupBy.  No windows, no driver state."""
     grams = _hashed_shingles(spark, sf_dir)
-    dupg = (grams.groupBy("h").agg(F.count("*").alias("c"))
-            .filter(F.col("c") >= 2)
-            .select("h", F.lit(1).alias("isdup")))
-    per = (grams.join(dupg, "h", "left")
+    # r8: the gram-df test is a window count over h (one exchange +
+    # sort, grams evaluated once) instead of a df-aggregate semi-
+    # joined back — the join form re-ran the whole shingle pipeline
+    # under both branches (cross-branch exchange reuse demonstrably
+    # does not fire for these kernels) and paid a second h-shuffle
+    # for the join itself
+    per = (grams
+           .withColumn("c", F.count("*").over(Window.partitionBy("h")))
            .groupBy("doc_id")
            .agg(F.count("*").alias("n_grams"),
-                F.sum(F.coalesce("isdup", F.lit(0))).alias("n_dup_grams")))
+                F.sum((F.col("c") >= 2).cast("int"))
+                .alias("n_dup_grams")))
     frac = F.round(F.col("n_dup_grams").cast("double")
                    / F.col("n_grams"), 4)
     return (per.withColumn("dup_frac", frac)
@@ -4238,8 +4313,16 @@ def dsir_scores(docs):
     hashed = toks.select(
         "doc_id", "tgt",
         (F.expr(_SPARK_SH_HASH) % _DSIR_B).alias("b"))
-    buckets = hashed.groupBy("b").agg(
-        F.count("*").alias("c_raw"), F.sum("tgt").alias("c_tgt"))
+    # r8: ONE combinable pre-aggregation to (doc_id, tgt, b) counts —
+    # the r7 shape evaluated ``hashed`` (an explode + md5 per token)
+    # TWICE, once under the bucket model and once under the per-doc
+    # scoring join; both stages now read the g counts (g is also the
+    # only shuffle of token-derived rows).  sum(c·wm) == the r7
+    # sum(wm over token instances) exactly — long arithmetic.
+    g = hashed.groupBy("doc_id", "tgt", "b").agg(F.count("*").alias("c"))
+    buckets = g.groupBy("b").agg(
+        F.sum("c").alias("c_raw"),
+        F.sum(F.col("tgt") * F.col("c")).alias("c_tgt"))
     tot = buckets.agg(F.sum("c_raw").cast("double").alias("t_raw"),
                       F.sum("c_tgt").cast("double").alias("t_tgt"))
     wm = F.round((F.log2(F.col("c_tgt") + 1)
@@ -4249,9 +4332,10 @@ def dsir_scores(docs):
                  * 1000000.0, 0).cast("long")
     w = (buckets.crossJoin(F.broadcast(tot))
          .select("b", wm.alias("wm")))
-    per = (hashed.join(F.broadcast(w), "b")
+    per = (g.join(F.broadcast(w), "b")
            .groupBy("doc_id")
-           .agg(F.count("*").alias("n_tokens"), F.sum("wm").alias("s")))
+           .agg(F.sum("c").alias("n_tokens"),
+                F.sum(F.col("c") * F.col("wm")).alias("s")))
     avg = F.round((F.col("s").cast("double") / 1000000.0)
                   / F.col("n_tokens"), 4)
     return (per.withColumn("avg_logratio", avg)
@@ -4350,7 +4434,11 @@ def semdedup_pairs(emb, k=None, train_limit=_IVF_TRAIN_LIMIT,
     cent, assign = _ivf_fit(emb, train_limit=train_limit, k=k)
     if assign_mode == "hier":
         assign = _ivf_assign_hier(emb, cent)
-    scored = _sem_score(emb, cent, assign).persist()
+    # materialized via one explicit cell-keyed exchange, not an unowned
+    # persist (VERDICT r8 item 1): both pair-join sides read the same
+    # shuffle stage, and hash(cell) is exactly the partitioning the
+    # join needs, so no second exchange appears downstream
+    scored = _sem_score(emb, cent, assign).repartition("cell")
     return _sem_decide(_sem_candidate_pairs(scored, scored, tau,
                                             ordered=True))
 
@@ -4824,18 +4912,30 @@ def lm2_scores(docs, lm_corpus=None):
                        .filter(F.expr("size(t) >= 1")))
 
     def _bigrams(frame):
+        # r8: ONE md5 pass hashes every token (ht — lambda-BOUND
+        # inside the generator expression, so no array column rides
+        # through the Generate getting copied per exploded row), and
+        # each position emits a (h2, hp, hw) struct.  The r7 form
+        # re-split the bigram string and ran md5 twice more per
+        # position (3 md5s + 2 splits per bigram → 1 bigram md5 +
+        # 1 token md5 amortized).  Hash values are identical: md5 of
+        # the same token bytes.
+        tok_h = h_of.format(x="x")
+        h2 = h_of.format(
+            x="concat(element_at(t, i - 1), ' ', element_at(t, i))")
+        gram_structs = (
+            f"element_at(transform(array(transform(t, x -> {tok_h})), "
+            f"ht -> transform(sequence(2, size(t)), i -> named_struct("
+            f"'h2', {h2}, "
+            f"'hp', element_at(ht, i - 1), "
+            f"'hw', element_at(ht, i)))), 1)")
         return (frame.filter(F.expr("size(t) >= 2"))
                 .select("doc_id",
-                        F.explode(F.expr(
-                            "transform(sequence(2, size(t)), i -> "
-                            "concat(element_at(t, i - 1), ' ', "
-                            "element_at(t, i)))")).alias("bgs"))
+                        F.explode(F.expr(gram_structs)).alias("bg"))
                 .select("doc_id",
-                        F.expr(h_of.format(x="bgs")).alias("h2"),
-                        F.expr(h_of.format(x="split(bgs, ' ')[0]"))
-                        .alias("hp"),
-                        F.expr(h_of.format(x="split(bgs, ' ')[1]"))
-                        .alias("hw")))
+                        F.col("bg.h2").alias("h2"),
+                        F.col("bg.hp").alias("hp"),
+                        F.col("bg.hw").alias("hw")))
 
     base = _toks(docs)
     lm_base = base if lm_corpus is None else _toks(lm_corpus)

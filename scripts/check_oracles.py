@@ -67,6 +67,27 @@ def main() -> int:
             failures.append((name, f"SPARK ERROR: {e}"))
             print(f"FAIL {name}: spark error: {str(e)[:300]}")
             continue
+        # storage guard (VERDICT r8 item 1): no registered query may
+        # leave cached blocks behind — an unowned persist in a query
+        # builder leaks into any long-lived session (the ADVICE r4
+        # LRU-lottery failure).  Checked BEFORE the loop-head
+        # clearCache so a leak cannot hide behind it.
+        # localCheckpoint() blocks are exempt: the iterative operators'
+        # RESULT reads them (a lineage cut, not a cache), and the
+        # ContextCleaner reclaims them when the result frame is GC'd.
+        pm = spark.sparkContext._jsc.sc().getPersistentRDDs()
+        it = pm.toList().iterator()
+        leaked = []
+        while it.hasNext():
+            kv = it.next()
+            if not kv._2().isLocallyCheckpointed():
+                leaked.append(kv._1())
+        if leaked:
+            failures.append((name, f"CACHE LEAK: {len(leaked)} "
+                                   "non-checkpoint persisted RDD(s) "
+                                   "after query"))
+            print(f"FAIL {name}: cache leak ({len(leaked)} "
+                  "non-checkpoint persisted RDDs)")
         if name not in oracles:
             print(f"rows-only {name}: {len(sdf)} rows")
             continue
