@@ -643,8 +643,12 @@ def q_minhash_estimate_report(spark, sf_dir):
          .alias("mae")))
 
 
+_CC_DRIVER_MAX_EDGES = 100_000
+
+
 def _connected_components(pairs, max_iters: int = 32,
-                          stats: dict | None = None):
+                          stats: dict | None = None,
+                          driver_max_edges: int = _CC_DRIVER_MAX_EDGES):
     """Duplicate-CLUSTER formation: min-id label propagation WITH
     POINTER JUMPING over the near-dup pair graph until fixpoint — the
     transitive step production dedup needs (A~B~C is ONE cluster even
@@ -662,6 +666,21 @@ def _connected_components(pairs, max_iters: int = 32,
        jump is sound and the fixpoint is unchanged — the component
        min).
 
+    SIZE-ADAPTIVE fast path (r8, guide §1.2 — the distributed
+    algorithm is the right shape only when the data needs it): the
+    duplicate-pair graph is usually tiny relative to the corpus, and
+    each distributed round costs two joins + a checkpoint + an agg
+    job of pure fixed overhead.  When the edge list fits in
+    ``driver_max_edges`` (one limit(n+1) pass over the pairs — ~1.6 MB
+    of longs at the default bound, firmly driver-sized metadata like
+    the centroid tables), a driver-side union-find labels the
+    components exactly (union-by-smaller-root ⇒ each root IS its
+    component minimum) and the result is re-embedded as a literal
+    frame; larger graphs fall through to the unchanged pointer-jumping
+    loop.  stats reports {"iters": 0, "driver_path": True} for the
+    fast path; pass ``driver_max_edges=0`` to force the distributed
+    loop (the convergence tests do).
+
     The jump halves the remaining chain length each round, so a
     component of diameter d converges in O(log d) rounds instead of
     O(d) — VERDICT r4 item 2 (crawl-boilerplate duplicate graphs DO go
@@ -676,6 +695,37 @@ def _connected_components(pairs, max_iters: int = 32,
     O(log) round shape; this label table is (long, long) rows — tiny
     relative to the corpus, since the graph is only the DUPLICATE
     documents).  ``stats``: pass a dict to receive {"iters": n}."""
+    spark = pairs.sparkSession
+    if driver_max_edges:
+        head = (pairs.select("doc_a", "doc_b")
+                .limit(driver_max_edges + 1).collect())
+        if len(head) <= driver_max_edges:
+            parent: dict = {}
+
+            def _find(x):
+                root = x
+                while parent.get(root, root) != root:
+                    root = parent[root]
+                while parent.get(x, x) != x:
+                    parent[x], x = root, parent[x]
+                return root
+
+            nodes = set()
+            for r in head:
+                a, b = int(r.doc_a), int(r.doc_b)
+                nodes.add(a)
+                nodes.add(b)
+                ra, rb = _find(a), _find(b)
+                if ra != rb:
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+            rows = sorted((n, _find(n)) for n in nodes)
+            if stats is not None:
+                stats["iters"] = 0
+                stats["driver_path"] = True
+            return spark.createDataFrame(
+                rows, "doc_id long, cluster_id long")
     edges = (pairs.select(F.col("doc_a").alias("src"),
                           F.col("doc_b").alias("dst"))
              .unionAll(pairs.select(F.col("doc_b").alias("src"),

@@ -47,8 +47,12 @@ def test_connected_components_chain_converges_logarithmically(spark):
         rows = [(i, i + 1) for i in range(depth)]
         pairs = spark.createDataFrame(rows, "doc_a long, doc_b long")
         stats = {}
+        # driver_max_edges=0 forces the DISTRIBUTED loop — this test
+        # pins the pointer-jumping round budget, which the r8 driver
+        # union-find fast path would otherwise bypass on small graphs
         got = {r.doc_id: r.cluster_id
-               for r in cc(pairs, stats=stats).collect()}
+               for r in cc(pairs, stats=stats,
+                           driver_max_edges=0).collect()}
         assert got == {i: 0 for i in range(depth + 1)}
         assert stats["iters"] <= budget, (depth, stats)
 
@@ -63,7 +67,9 @@ def test_connected_components_raises_when_budget_exhausted(spark):
     pairs = spark.createDataFrame([(i, i + 1) for i in range(8)],
                                   "doc_a long, doc_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
-        cc(pairs, max_iters=1)
+        # forced distributed: the r8 driver fast path solves small
+        # graphs exactly and never exhausts a round budget
+        cc(pairs, max_iters=1, driver_max_edges=0)
 
 
 def test_connected_components_label_flows_against_edge_direction(spark):
@@ -124,3 +130,23 @@ def test_cleaning_job_cluster_policy_collapses_chain(spark, tmp_path):
     assert clu_ids == {1, 10, 11, 12, 13}
     assert m_clu["after_neardup_removal"] == m_pair["after_neardup_removal"] - 1
     assert m_clu["rows_in"] == m_pair["rows_in"] == 7
+
+
+def test_connected_components_driver_path_equals_distributed(spark):
+    """r8 size-adaptive fast path: the driver union-find must label
+    exactly like the pointer-jumping loop (same min-id fixpoint) on a
+    graph mixing chains, stars, islands and reversed edges."""
+    from engine.analytics import _connected_components as cc
+
+    rows = ([(i, i + 1) for i in range(12)]              # chain 0..12
+            + [(50, 40), (50, 41), (50, 42)]             # star, reversed
+            + [(100, 101)]                                # island
+            + [(7, 200), (200, 201)])                     # chain graft
+    pairs = spark.createDataFrame(rows, "doc_a long, doc_b long")
+    stats_d = {}
+    fast = {(r.doc_id, r.cluster_id)
+            for r in cc(pairs, stats=stats_d).collect()}
+    dist = {(r.doc_id, r.cluster_id)
+            for r in cc(pairs, driver_max_edges=0).collect()}
+    assert fast == dist and fast
+    assert stats_d.get("driver_path") is True
