@@ -415,10 +415,19 @@ def _hashed_shingles(spark, sf_dir):
     return _hashed_shingles_df(_t(spark, sf_dir, "documents"))
 
 
-def _hashed_shingles_df(docs):
+def _hashed_shingles_df(docs, carry_n: bool = False):
     """(doc_id, h) distinct hashed word-3-gram shingles — the shared
     candidate/verify base for the minhash and min-shingle-block dedups,
     over any (doc_id, text) frame.
+
+    ``carry_n=True`` (r8): dedup via ONE groupBy(doc_id)/collect_set
+    exchange instead of a (doc_id, h) distinct, and put the per-doc
+    distinct-shingle count ``n`` on every row — the Jaccard verify's
+    denominator then needs no separate sizes aggregation + join-backs
+    (each of which re-evaluated this whole pipeline; see
+    _verify_jaccard).  Per-doc set state is bounded by the doc's own
+    length, the same bound the cut-set collect_sets carry.  The
+    persisted stream index keeps the lean 2-column distinct form.
 
     h is the 60-bit base hash (one MD5 per shingle, _SPARK_SH_HASH):
     hashing BEFORE the distinct means the dedup shuffle and every
@@ -433,8 +442,13 @@ def _hashed_shingles_df(docs):
     toks = docs.select("doc_id", F.expr(_SPARK_TOKS).alias("toks"))
     shingled = toks.select(
         "doc_id", F.explode(F.expr(_SPARK_SHINGLE_EXPR)).alias("sh"))
-    return shingled.select(
-        "doc_id", F.expr(_SPARK_SH_HASH).alias("h")).distinct()
+    hashed = shingled.select("doc_id", F.expr(_SPARK_SH_HASH).alias("h"))
+    if not carry_n:
+        return hashed.distinct()
+    return (hashed.groupBy("doc_id")
+            .agg(F.collect_set("h").alias("hs"))
+            .select("doc_id", F.size("hs").cast("long").alias("n"),
+                    F.explode("hs").alias("h")))
 
 
 @register("dedup_minhash_lsh", _DUCK_MINHASH)
@@ -507,9 +521,14 @@ def _verify_jaccard(cand, dist, threshold: float = 0.2):
     pair, so the groups are unchanged — and are carried to the
     output for callers that want them; the 3-column contract of the
     registered queries is a final select away."""
-    da = dist.select(F.col("doc_id").alias("doc_a"), "h")
-    db = dist.select(F.col("doc_id").alias("doc_b"), "h")
+    carry_dist_n = "n" in dist.columns and "na" not in cand.columns
+    da = dist.select(F.col("doc_id").alias("doc_a"), "h",
+                     *([F.col("n").alias("na")] if carry_dist_n else []))
+    db = dist.select(F.col("doc_id").alias("doc_b"), "h",
+                     *([F.col("n").alias("nb")] if carry_dist_n else []))
     extra = [c for c in ("na", "nb", "est") if c in cand.columns]
+    if carry_dist_n:
+        extra = ["na", "nb"] + extra
     inter = (cand.join(da, "doc_a").join(db, ["doc_b", "h"])
              .groupBy("doc_a", "doc_b", *extra)
              .agg(F.count("*").alias("n_common")))

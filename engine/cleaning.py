@@ -196,7 +196,12 @@ def neardup_pairs(docs: DataFrame, sketch: str = "minhash") -> DataFrame:
         return _minhash_pairs(_hashed_shingles_df(docs))
     if sketch == "simhash128":
         cand = _simhash128_band_candidates(_simhash128_chunks(docs))
-        return _verify_jaccard(cand, _hashed_shingles_df(docs))
+        # carry_n: the per-doc shingle count rides the verify base, so
+        # the Jaccard denominator needs no sizes aggregation +
+        # join-backs (r8 — each was a full extra shingle-pipeline
+        # evaluation)
+        return _verify_jaccard(cand,
+                               _hashed_shingles_df(docs, carry_n=True))
     raise ValueError(f"unknown near-dup sketch: {sketch!r}")
 
 
