@@ -64,44 +64,41 @@ def entry(spark: SparkSession) -> DataFrame:
 # long-green entries.  Keep newly-added queries at the top of this
 # list each round; demote them once a CORRECTNESS_r{N}.json row lands.
 _PRIORITY_FIRST = [
-    # new in r7 (no prior driver row can exist):
-    "dedup_substring_cut_bytes",
-    "decontaminate_cut",
-    "lm_perplexity_filter_ref",
-    "lm2_perplexity_filter_ref",
-    # r6-touched semantics (conditional original-text emit / single
-    # vector build) — their r6 rows predate the change:
-    "dedup_substring_cut",
-    "doc_embedding_hashed",
-    # not covered by the driver's 50-row budget in r6 (all driver-green
-    # in r5 and judge-re-verified in r6; rotation gives each a fresh
-    # driver row at least every other round — VERDICT r6 item 3):
-    "dedup_minhash_lsh",
-    "dedup_minhash_incremental",
-    "minhash_estimate_report",
-    "neardup_pairs_simhash128",
-    "sample_stratified",
-    "pack_token_budget",
-    "dedup_embedding_cosine",
-    "ann_ivf_topk",
-    "ann_ivf_sampled_topk",
-    "ann_ivf_recall",
-    "sessionize",
-    "retention_cohorts",
-    "funnel_view_click_purchase",
-    "embedding_norm_stats",
-    "lm_perplexity_filter",
-    "tfidf_top_terms",
-    "corpus_shuffle",
-    "dup_ngram_fraction",
-    "dsir_importance",
-    "semdedup",
-    "top_ngrams",
-    "corpus_stats",
-    "source_overlap_matrix",
-    "mixture_weights",
-    "semdedup_clusters",
-    "lm2_perplexity_filter",
+    # r8 rotation (VERDICT r7 item 4): no new queries this round (an
+    # optimization round adds none), so the head is exactly the 30
+    # queries the driver's 50-row budget did NOT cover in r7 — every
+    # r7-covered query demotes below them, giving each registered
+    # query a fresh driver row at least every other round:
+    "ann_cosine_topk",
+    "ann_lsh_top1",
+    "ann_recall_report",
+    "boilerplate_strip",
+    "cleaning_pass",
+    "decontaminate_ngram",
+    "dedup_clusters",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_simhash128",
+    "dedup_span_exact",
+    "dedup_substring",
+    "doc_fingerprint",
+    "embedding_extract_family",
+    "extract_json_family",
+    "fingerprint_winnowing",
+    "gopher_repetition",
+    "lang_id_heuristic",
+    "multimodal_features",
+    "pdf_extract",
+    "pii_scrub",
+    "quality_score",
+    "quality_signals",
+    "semantic_extract_family",
+    "simhash128_hamming_candidates",
+    "simhash_hamming_candidates",
+    "token_count",
+    "url_domain_stats",
+    "winnowing_overlap",
 ]
 
 
