@@ -3462,21 +3462,39 @@ _COS_E_QE = ("(aggregate(zip_with(e, qe, (x, y) -> x * y), 0D, "
              "(acc, v) -> acc + v)))")
 
 
+# _ivf_assign's argmax key: (round(cos, 6), cell) packed into ONE
+# long — (c_int + 10^6) · 2^42 + (2^42 − 1 − cell).  Bound: cell ids
+# (k-means seed vec_ids) must stay below 2^42 ≈ 4.4·10^12, far past
+# any real corpus; _ivf_fit asserts it on the driver-held seeds.
+_IVF_ENC_BASE = 1 << 42
+
+
 def _ivf_assign(emb, cent):
     """Nearest-centroid assignment: broadcast the k×dims centroid table
     (genuinely tiny — the legitimate broadcast case) against the
-    corpus, then a PARTIAL-AGGREGABLE argmax per vector —
-    max(struct(rounded_cos, -cell)) is lexicographic, so ties resolve
-    to the smallest cell exactly like the oracle's ROW_NUMBER
-    (… ORDER BY cos DESC, cell), but the map side combines before the
-    shuffle, which a row_number window cannot (at 10^9 vectors the
-    window would sort n×k rows; this ships one struct per vector)."""
-    pick = F.max(F.struct(F.round(F.expr(_COS_E_CE), 6).alias("c"),
-                          (-F.col("cell")).alias("nc")))
+    corpus, then a PARTIAL-AGGREGABLE argmax per vector.  The argmax
+    key packs (rounded_cos, cell) into a single LONG (r8): a
+    max(struct(c, -cell)) buffer is an immutable struct, which knocks
+    the aggregate off HashAggregate onto SortAggregate — Spark SORTS
+    the n×k candidate rows (visible in the r8 before-plans); the long
+    encoding keeps the identical lexicographic order (cos DESC, cell
+    ASC — ties to the smallest cell exactly like the oracle's
+    ROW_NUMBER) in a mutable fixed-size buffer, so the map side hash-
+    combines to one long per vector before the shuffle.  Exactness:
+    c6 = round(cos, 6) is within 1e-6-spaced values, so
+    round(c6 · 10^6, 0) recovers the 6-dp integer exactly (double
+    error ~1e-10 ≪ 0.5) and integer comparisons ≡ the struct form's
+    double comparisons."""
+    c_int = F.expr(f"cast(round(round({_COS_E_CE}, 6) * 1000000D, 0) "
+                   f"AS bigint)")
+    enc = ((c_int + F.lit(1000000)) * F.lit(_IVF_ENC_BASE)
+           + (F.lit(_IVF_ENC_BASE - 1) - F.col("cell")))
     return (emb.crossJoin(F.broadcast(cent))
             .groupBy("vec_id")
-            .agg(pick.alias("m"))
-            .select("vec_id", (-F.col("m.nc")).alias("cell")))
+            .agg(F.max(enc).alias("m"))
+            .select("vec_id",
+                    (F.lit(_IVF_ENC_BASE - 1)
+                     - F.col("m") % F.lit(_IVF_ENC_BASE)).alias("cell")))
 
 
 def _ivf_fit(emb, train_limit: int = 0, k: int = None):
@@ -3516,6 +3534,10 @@ def _ivf_fit(emb, train_limit: int = 0, k: int = None):
                  train.orderBy("vec_id").limit(k)
                  .select(F.col("vec_id").alias("cell"),
                          F.col("e").alias("ce")).collect()]
+    # the packed-long argmax (see _ivf_assign) needs cell ids inside
+    # [0, 2^42); seeds are vec_ids, checked here on the driver copy
+    assert all(0 <= c < _IVF_ENC_BASE for c, _ in cent_rows), \
+        "IVF seed vec_ids exceed the 2^42 argmax-encoding bound"
     for _ in range(_IVF_ITERS):
         cent = spark.createDataFrame(cent_rows, cent_schema)
         assign = _ivf_assign(train, cent)
@@ -5193,10 +5215,17 @@ def _ivf_assign_hier(emb, cent, branch=None):
     kids = spark.createDataFrame(
         [(cell, sup_of[cell], ce) for cell, ce in cent_rows],
         "cell long, sup long, ce array<double>")
-    pick = F.max(F.struct(F.round(F.expr(_COS_E_CE), 6).alias("c"),
-                          (-F.col("cell")).alias("nc")))
+    # same packed-long argmax as _ivf_assign (HashAggregate, not the
+    # struct form's SortAggregate); child cells are seed vec_ids,
+    # covered by the same 2^42 bound _ivf_fit asserts
+    c_int = F.expr(f"cast(round(round({_COS_E_CE}, 6) * 1000000D, 0) "
+                   f"AS bigint)")
+    enc = ((c_int + F.lit(1000000)) * F.lit(_IVF_ENC_BASE)
+           + (F.lit(_IVF_ENC_BASE - 1) - F.col("cell")))
     return (emb.join(s1, "vec_id")
             .join(F.broadcast(kids), "sup")
             .groupBy("vec_id")
-            .agg(pick.alias("m"))
-            .select("vec_id", (-F.col("m.nc")).alias("cell")))
+            .agg(F.max(enc).alias("m"))
+            .select("vec_id",
+                    (F.lit(_IVF_ENC_BASE - 1)
+                     - F.col("m") % F.lit(_IVF_ENC_BASE)).alias("cell")))
