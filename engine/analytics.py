@@ -2101,6 +2101,10 @@ def q_decontaminate_ngram(spark, sf_dir):
 
 
 _SPAN_W = 20  # tokens per span — the exact-substring-dedup granularity
+# keeper-argmin packing (see q_dedup_span_exact): idx gets 22 bits
+# (docs up to ~84M tokens), doc_id the remaining 41 — both bounds
+# fail loudly per output row, never silently
+_SPAN_IDX_BITS = 22
 
 
 _DUCK_SPAN_DEDUP = f"""
@@ -2139,11 +2143,19 @@ def q_dedup_span_exact(spark, sf_dir):
     the quantity a span-rewriting cleaner would drop.
 
     Scale shape: spans travel as 8-byte hashes; the keeper argmin is a
-    partial-aggregable min(struct(doc_id, idx)) (map-side combine, no
-    window sort), and the flag join is hash-keyed.  Exact duplicates
-    of whole documents show up as every span duplicated; partial
-    overlap (shared boilerplate runs) is localized to the shared
-    spans."""
+    partial-aggregable min over (doc_id, idx) PACKED into one long
+    (r8: `doc_id·2^22 + idx` — a min(struct) buffer is an immutable
+    struct, which forces SortAggregate and sorts EVERY span row per
+    map task; the packed long keeps the identical lexicographic order
+    in a mutable buffer, so the keeper pick is a HashAggregate).
+    Bounds — idx < 2^22 (docs up to ~84M tokens) and doc_id < 2^41 —
+    are checked loudly per OUTPUT row (max(idx) rides the final
+    per-doc aggregate, so a violating document fails its own result
+    row instead of silently electing a wrong keeper; the hot span
+    stages stay guard-free).  The flag join is hash-keyed.  Exact
+    duplicates of whole documents show up as every span duplicated;
+    partial overlap (shared boilerplate runs) is localized to the
+    shared spans."""
     toks = (_spread(_t(spark, sf_dir, "documents"))
             .select("doc_id", F.expr(_SPARK_TOKS).alias("t")))
     span_expr = (f"transform(sequence(0, cast(floor(size(t) / {_SPAN_W}) "
@@ -2153,15 +2165,24 @@ def q_dedup_span_exact(spark, sf_dir):
              .select("doc_id",
                      F.posexplode(F.expr(span_expr)).alias("idx", "sp"))
              .select("doc_id", F.col("idx").cast("long").alias("idx"),
-                     F.expr(_h64("sp")).alias("h")))
-    keepers = spans.groupBy("h").agg(
-        F.min(F.struct("doc_id", "idx")).alias("k"))
+                     F.expr(_h64("sp")).alias("h"))
+             .withColumn("p", F.expr(f"doc_id * {1 << _SPAN_IDX_BITS}"
+                                     f" + idx")))
+    keepers = spans.groupBy("h").agg(F.min("p").alias("kp"))
+    guarded = F.when(
+        (F.col("mx") < F.lit(1 << _SPAN_IDX_BITS))
+        & (F.col("doc_id") < F.lit(1 << (63 - _SPAN_IDX_BITS))),
+        F.col("nd")).otherwise(F.expr(
+            "raise_error(concat('dedup_span_exact packing bound "
+            "exceeded: doc_id=', cast(doc_id as string), "
+            "' max_idx=', cast(mx as string)))").cast("long"))
     return (spans.join(keepers, "h")
             .groupBy("doc_id")
             .agg(F.count("*").alias("n_spans"),
-                 F.sum(F.when((F.col("k.doc_id") == F.col("doc_id"))
-                              & (F.col("k.idx") == F.col("idx")), 0)
-                       .otherwise(1)).alias("n_dup_spans")))
+                 F.sum(F.when(F.col("kp") == F.col("p"), 0)
+                       .otherwise(1)).alias("nd"),
+                 F.max("idx").alias("mx"))
+            .select("doc_id", "n_spans", guarded.alias("n_dup_spans")))
 
 
 _SUBSTR_L = 20  # minimum repeated-substring length (tokens)

@@ -62,3 +62,58 @@ def test_seed_bound_asserted(spark, emb):
         "vec_id", F.col("vec_id") + F.lit(A._IVF_ENC_BASE))
     with pytest.raises(AssertionError, match="2\\^42"):
         A._ivf_fit(bad)
+
+
+# ---- dedup_span_exact's packed keeper (same r8 SortAggregate fix) ----
+
+def test_span_exact_packed_equals_struct(spark):
+    """The packed-long keeper must reproduce the min(struct) keeper's
+    per-doc counts exactly on a real corpus slice."""
+    from engine.queries import _REGISTRY
+
+    fn, _ = _REGISTRY["dedup_span_exact"]
+    got = {r.doc_id: (r.n_spans, r.n_dup_spans)
+           for r in fn(spark, "/root/testdata/sf0.001").collect()}
+
+    toks = (A._t(spark, "/root/testdata/sf0.001", "documents")
+            .select("doc_id", F.expr(A._SPARK_TOKS).alias("t")))
+    span_expr = (f"transform(sequence(0, cast(floor(size(t) / "
+                 f"{A._SPAN_W}) as int) - 1), i -> "
+                 f"array_join(slice(t, i * {A._SPAN_W} + 1, "
+                 f"{A._SPAN_W}), ' '))")
+    spans = (toks.filter(F.expr(f"size(t) >= {A._SPAN_W}"))
+             .select("doc_id",
+                     F.posexplode(F.expr(span_expr)).alias("idx", "sp"))
+             .select("doc_id", F.col("idx").cast("long").alias("idx"),
+                     F.expr(A._h64("sp")).alias("h")))
+    keepers = spans.groupBy("h").agg(
+        F.min(F.struct("doc_id", "idx")).alias("k"))
+    ref = {r.doc_id: (r.n_spans, r.n_dup_spans) for r in
+           (spans.join(keepers, "h")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_spans"),
+                 F.sum(F.when((F.col("k.doc_id") == F.col("doc_id"))
+                              & (F.col("k.idx") == F.col("idx")), 0)
+                       .otherwise(1)).alias("n_dup_spans"))).collect()}
+    assert got == ref and len(got) > 0
+
+
+def test_span_exact_guard_fires_on_huge_doc_id(spark, tmp_path):
+    """A doc_id past the 2^41 packing bound must fail loudly, not
+    silently elect a wrong keeper.  Two loud layers exist: ANSI mode
+    overflows the packing multiply at exactly doc_id = 2^41 (this
+    test), and the per-output-row raise_error covers the idx < 2^22
+    bound, which no overflow can catch."""
+    from engine.queries import _REGISTRY
+
+    big = 1 << 45
+    text = " ".join(f"tok{i}" for i in range(A._SPAN_W))
+    spark.createDataFrame(
+        [(big, text, "src00"), (big + 1, text, "src00")],
+        "doc_id long, text string, source string") \
+        .write.parquet(str(tmp_path / "documents.parquet"))
+    fn, _ = _REGISTRY["dedup_span_exact"]
+    with pytest.raises(
+            Exception,
+            match="ARITHMETIC_OVERFLOW|packing bound exceeded"):
+        fn(spark, str(tmp_path)).collect()
